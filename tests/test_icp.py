@@ -1,0 +1,120 @@
+"""Golden tests for point-to-plane ICP: recover known SE(3) transforms on
+synthetic scenes (the validation the reference never had — its Align call
+was commented out, reference: Application.cpp:75)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from voxelhashing_demo_tpu.config import CameraConfig, ICPConfig
+from voxelhashing_demo_tpu.geometry import se3
+from voxelhashing_demo_tpu.ops import icp as icp_ops
+from voxelhashing_demo_tpu.ops import preprocess as pre
+from voxelhashing_demo_tpu.utils import synthetic
+
+CAM = CameraConfig(width=160, height=120, fx=129.3, fy=129.1, cx=79.65,
+                   cy=59.8)
+ICP = ICPConfig()
+
+
+def render_frame(T_wc):
+    d = synthetic.render_depth(jnp.asarray(T_wc, dtype=jnp.float32), CAM)
+    return pre.preprocess_metric(d, CAM), d
+
+
+def check_recovery(xi_true, atol_t=0.004, atol_r=0.004):
+    """Ground truth: camera moves by T_gt = exp(xi).  ICP src=new frame,
+    tgt=old frame must recover T_rel with pose_new = pose_old @ T_rel =
+    T_gt."""
+    T_gt = se3.exp(jnp.asarray(xi_true, dtype=jnp.float32))
+    tgt_frame, _ = render_frame(se3.identity())
+    src_frame, _ = render_frame(T_gt)
+
+    result = icp_ops.icp_align(src_frame, tgt_frame, CAM, ICP)
+    T_est = result.transform
+
+    # compare against ground truth relative motion
+    err = se3.log(se3.inverse(T_gt) @ T_est)
+    terr = float(jnp.linalg.norm(err[:3]))
+    rerr = float(jnp.linalg.norm(err[3:]))
+    assert terr < atol_t, f"translation error {terr} (xi={xi_true})"
+    assert rerr < atol_r, f"rotation error {rerr} (xi={xi_true})"
+    assert int(result.count) > 1000
+    return result
+
+
+def test_identity():
+    r = check_recovery([0, 0, 0, 0, 0, 0], atol_t=1e-4, atol_r=1e-4)
+    assert float(r.error) < 1e-6
+
+
+def test_small_translation():
+    check_recovery([0.01, -0.008, 0.012, 0, 0, 0])
+
+
+def test_small_rotation():
+    check_recovery([0, 0, 0, 0.01, -0.015, 0.008])
+
+
+def test_combined_motion():
+    check_recovery([0.015, 0.01, -0.01, 0.012, 0.018, -0.01])
+
+
+def test_larger_motion():
+    check_recovery([0.03, -0.02, 0.025, 0.03, -0.025, 0.02],
+                   atol_t=0.008, atol_r=0.008)
+
+
+def test_early_convergence():
+    # at identity the solver should converge in far fewer than max_iters
+    frame, _ = render_frame(se3.identity())
+    result = icp_ops.icp_align(frame, frame, CAM, ICP)
+    assert int(result.iters) < ICP.max_iters
+
+
+def test_empty_target_is_safe():
+    H, W = CAM.height, CAM.width
+    empty = pre.Frame(
+        vertices=jnp.zeros((H, W, 3)),
+        normals=jnp.zeros((H, W, 3)),
+        depth=jnp.zeros((H, W)),
+    )
+    frame, _ = render_frame(se3.identity())
+    result = icp_ops.icp_align(frame, empty, CAM, ICP)
+    assert bool(jnp.all(jnp.isfinite(result.transform)))
+    assert int(result.count) == 0
+    # no correspondences -> no update
+    np.testing.assert_allclose(result.transform, np.eye(4), atol=1e-5)
+
+
+def test_pyramid():
+    T_gt = se3.exp(jnp.array([0.04, 0.0, -0.03, 0.0, 0.04, 0.02]))
+    _, d_tgt = render_frame(se3.identity())
+    _, d_src = render_frame(T_gt)
+    from voxelhashing_demo_tpu.config import ICPConfig
+    cfg = ICPConfig(pyramid=(4, 2, 1))
+    result = icp_ops.icp_align_pyramid(d_src, d_tgt, CAM, cfg)
+    err = se3.log(se3.inverse(T_gt) @ result.transform)
+    assert float(jnp.linalg.norm(err[:3])) < 0.01
+    assert float(jnp.linalg.norm(err[3:])) < 0.01
+
+
+def test_normal_system_matches_dense_jacobian():
+    # brute-force check of the fused JTJ/JTr against explicit J construction
+    rng = np.random.default_rng(0)
+    N = 64
+    p = jnp.asarray(rng.normal(size=(1, N, 3)), dtype=jnp.float32)
+    n = jnp.asarray(rng.normal(size=(1, N, 3)), dtype=jnp.float32)
+    r = jnp.asarray(rng.normal(size=(1, N)), dtype=jnp.float32)
+    valid = jnp.asarray(rng.random((1, N)) > 0.3)
+
+    sys = icp_ops.build_normal_system(p, n, r, valid)
+
+    J = np.concatenate([np.asarray(n), np.cross(np.asarray(p), np.asarray(n))],
+                       axis=-1).reshape(-1, 6)
+    w = np.asarray(valid).reshape(-1, 1).astype(np.float32)
+    Jw = J * w
+    rw = np.asarray(r).reshape(-1) * w[:, 0]
+    np.testing.assert_allclose(sys.JTJ, Jw.T @ Jw, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(sys.JTr, Jw.T @ rw, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(sys.count, w.sum())

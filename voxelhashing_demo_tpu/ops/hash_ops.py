@@ -1,0 +1,513 @@
+"""Voxel block hash table as pure, deterministic batched array ops.
+
+TPU-native redesign of the reference's GPU hash table
+(reference: VoxelUtils.cu — the component SURVEY.md section 2a inventories).
+The reference is built on atomics: per-bucket spinlocks for insert
+(atomicExch mutex, VoxelUtils.cu:444-445), an atomic free-list heap
+(atomicSub/Add on heapCounter, :328-341), and atomic-counter stream
+compaction (:718-768).  Failed lock acquisition silently drops the insert,
+to be retried next frame (:444-455) — racy by design.
+
+Here every per-frame mutation is a deterministic batched transform:
+
+- insert  = pack coords to int32 keys -> sort -> unique -> vectorized bucket
+            probe -> rank-within-bucket by segmented scan -> free-list slots
+            assigned by cumsum.  Bucket overflow and heap exhaustion drop
+            candidates exactly like the reference's failed locks — but
+            deterministically (the same inputs always drop the same keys).
+- compact = visibility mask -> cumsum -> scatter
+            (replaces flattenKernel's shared/global atomic counters).
+- free/GC = mask -> per-bucket re-compaction -> freed ptrs pushed back on
+            the stack (implements the reference's dead deleteVoxelEntry,
+            VoxelUtils.cu:544-604, and the GC it never had).
+
+Data layout (structure-of-arrays, static shapes):
+- ``keys/ptrs``: [num_buckets * bucket_size] — packed block key and block
+  storage index per slot (reference VoxelEntry {pos, ptr, offset},
+  VoxelDataStructures.h:19-26; the linked-list ``offset`` is gone — its
+  #ifdef path was never compiled in the reference, VoxelUtils.cu:384-411).
+- invariant: the occupied slots of each bucket are a *prefix* of the bucket
+  (maintained by insert and GC re-compaction), so insertion is
+  ``fill + rank`` with no probing for gaps.
+- ``tsdf/weight``: [num_blocks, 512] rows, one 8^3 block per row — the last
+  dim 512 = 4 x 128 lanes, ideal for the VPU.
+- ``free_list``: stack of free block rows; ``free_top`` replaces the
+  atomic heapCounter.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import CameraConfig, FusionConfig, HashConfig
+from ..geometry import coords, se3
+from ..geometry import camera as cam_geom
+from .preprocess import Frame
+from .tsdf import sample_weight
+
+FREE_PTR = jnp.int32(-1)
+EMPTY_KEY = coords.EMPTY_KEY
+
+
+class HashMap(NamedTuple):
+    """Functional voxel block hash map state (a pytree)."""
+
+    keys: jnp.ndarray         # [T] int32 packed block keys; EMPTY_KEY free
+    ptrs: jnp.ndarray         # [T] int32 block row index; -1 free
+    bucket_fill: jnp.ndarray  # [num_buckets] int32 occupied prefix length
+    free_list: jnp.ndarray    # [num_blocks] int32 stack of free rows
+    free_top: jnp.ndarray     # () int32 number of free rows
+    tsdf: jnp.ndarray         # [num_blocks, 512] float32
+    weight: jnp.ndarray       # [num_blocks, 512] float32
+
+
+class ActiveSet(NamedTuple):
+    """Padded visible-block set (replaces d_compactifiedHashTable)."""
+
+    blocks: jnp.ndarray   # [max_active, 3] int32 block coords (garbage pad)
+    ptrs: jnp.ndarray     # [max_active] int32 block rows; -1 pad
+    count: jnp.ndarray    # () int32
+
+
+def create(cfg: HashConfig) -> HashMap:
+    """Fresh empty map (reference: deviceAllocate + reset kernels,
+    VoxelUtils.cu:151-222; the identity-permutation heap init :161-166)."""
+    T = cfg.table_size
+    V = cfg.voxels_per_block
+    return HashMap(
+        keys=jnp.full((T,), EMPTY_KEY, dtype=jnp.int32),
+        ptrs=jnp.full((T,), FREE_PTR, dtype=jnp.int32),
+        bucket_fill=jnp.zeros((cfg.num_buckets,), dtype=jnp.int32),
+        free_list=jnp.arange(cfg.num_blocks, dtype=jnp.int32),
+        free_top=jnp.int32(cfg.num_blocks),
+        tsdf=jnp.zeros((cfg.num_blocks, V), dtype=jnp.float32),
+        weight=jnp.zeros((cfg.num_blocks, V), dtype=jnp.float32),
+    )
+
+
+# --------------------------------------------------------------------------
+# lookup
+# --------------------------------------------------------------------------
+
+def lookup_keys(hmap: HashMap, cfg: HashConfig, query_keys: jnp.ndarray):
+    """Vectorized probe: packed keys (N,) -> (ptr (N,), found (N,)).
+
+    Replaces getVoxelEntry4Block's linear slot scan
+    (reference: VoxelUtils.cu:362-414) with a static unrolled compare over
+    the bucket's slots.
+    """
+    blocks = coords.unpack_block_key(query_keys, cfg.key_bits)
+    bucket = coords.spatial_hash(blocks, cfg.num_buckets)
+    base = bucket * cfg.bucket_size
+    ptr = jnp.full(query_keys.shape, FREE_PTR, dtype=jnp.int32)
+    found = jnp.zeros(query_keys.shape, dtype=bool)
+    for s in range(cfg.bucket_size):
+        slot_key = hmap.keys[base + s]
+        hit = (slot_key == query_keys) & (query_keys != EMPTY_KEY)
+        ptr = jnp.where(hit, hmap.ptrs[base + s], ptr)
+        found = found | hit
+    return ptr, found
+
+
+def lookup_blocks(hmap: HashMap, cfg: HashConfig, blocks: jnp.ndarray):
+    """Block coords (..., 3) -> (ptr, found)."""
+    keys = coords.pack_block_key(blocks, cfg.key_bits)
+    return lookup_keys(hmap, cfg, keys.reshape(-1))
+
+
+# --------------------------------------------------------------------------
+# candidate generation (which blocks does this depth frame touch?)
+# --------------------------------------------------------------------------
+
+def frame_candidate_keys(
+    frame: Frame,
+    T_wc: jnp.ndarray,
+    cam: CameraConfig,
+    cfg: HashConfig,
+    fusion: FusionConfig,
+) -> jnp.ndarray:
+    """Packed block keys touched by the depth frame's truncation band.
+
+    The reference allocates only the block containing each back-projected
+    vertex (allocBlocksKernel, VoxelUtils.cu:606-716) — its full
+    truncation-band DDA is commented out (:637-703).  We implement the
+    intended band: ``band_steps`` samples along each viewing ray spanning
+    +-truncation around the measured surface, so near-surface blocks on
+    both sides get allocated (required for raycastable TSDF).
+
+    Returns a flat int32 key array (invalid rays -> EMPTY_KEY).
+    """
+    stride = cfg.candidate_stride
+    verts = frame.vertices[::stride, ::stride]          # (h, w, 3) cam frame
+    depth = frame.depth[::stride, ::stride]
+    valid = depth > 0
+
+    # unit view ray per pixel
+    ray_len = jnp.linalg.norm(verts, axis=-1)
+    inv_len = jnp.where(valid, 1.0 / jnp.maximum(ray_len, 1e-9), 0.0)
+    ray_dir = verts * inv_len[..., None]
+
+    trunc = fusion.truncation + fusion.trunc_scale * depth
+    steps = jnp.linspace(-1.0, 1.0, cfg.band_steps, dtype=jnp.float32)
+
+    # (band, h, w, 3) camera-frame band samples
+    samples = (
+        verts[None]
+        + ray_dir[None] * (steps[:, None, None, None] * trunc[None, ..., None])
+    )
+    world = se3.apply(T_wc, samples.reshape(-1, 3))
+    blocks = coords.world2block(
+        world, fusion.voxel_size, cfg.block_size
+    )
+    keys = coords.pack_block_key(blocks, cfg.key_bits)
+    valid_flat = jnp.broadcast_to(valid[None], (cfg.band_steps,) + valid.shape)
+    return jnp.where(valid_flat.reshape(-1), keys, EMPTY_KEY)
+
+
+# --------------------------------------------------------------------------
+# insert (allocation)
+# --------------------------------------------------------------------------
+
+def _unique_compact(keys: jnp.ndarray, max_out: int) -> jnp.ndarray:
+    """Sort + adjacent-diff unique + cumsum compaction of packed keys.
+
+    Returns (max_out,) unique keys padded with EMPTY_KEY.  Overflow beyond
+    max_out is dropped deterministically (smallest keys win) — the
+    reference's analog is a failed bucket lock (retry next frame).
+    """
+    s = jnp.sort(keys)
+    first = jnp.concatenate(
+        [jnp.array([True]), s[1:] != s[:-1]]
+    ) & (s != EMPTY_KEY)
+    pos = jnp.cumsum(first) - 1
+    idx = jnp.where(first, pos, max_out)                 # OOB -> dropped
+    out = jnp.full((max_out + 1,), EMPTY_KEY, dtype=jnp.int32)
+    out = out.at[idx].set(s, mode="drop")
+    return out[:max_out]
+
+
+def insert_blocks(
+    hmap: HashMap, cfg: HashConfig, cand_keys: jnp.ndarray
+) -> Tuple[HashMap, jnp.ndarray]:
+    """Insert up to max_new unique candidate keys; returns (map, n_inserted).
+
+    Deterministic replacement for insertVoxelEntry's spinlock protocol
+    (reference: VoxelUtils.cu:417-541): bucket ranks come from a segmented
+    scan over bucket-sorted keys, heap slots from a cumsum over the free
+    stack, so the same frame always allocates the same blocks.
+    """
+    uniq = _unique_compact(cand_keys, cfg.max_new_per_frame)
+
+    # which of the unique keys are genuinely new?
+    _, found = lookup_keys(hmap, cfg, uniq)
+    new_mask = (~found) & (uniq != EMPTY_KEY)
+
+    blocks = coords.unpack_block_key(uniq, cfg.key_bits)
+    bucket = coords.spatial_hash(blocks, cfg.num_buckets)
+    bucket = jnp.where(new_mask, bucket, cfg.num_buckets)  # sort invalid last
+
+    # sort by bucket; segmented rank within each bucket
+    order = jnp.argsort(bucket)
+    b_sorted = bucket[order]
+    n = uniq.shape[0]
+    pos = jnp.arange(n, dtype=jnp.int32)
+    seg_start = jnp.concatenate(
+        [jnp.array([True]), b_sorted[1:] != b_sorted[:-1]]
+    )
+    start_pos = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(seg_start, pos, 0)
+    )
+    rank_sorted = pos - start_pos
+    valid_sorted = b_sorted < cfg.num_buckets
+
+    fill_sorted = hmap.bucket_fill[jnp.clip(b_sorted, 0, cfg.num_buckets - 1)]
+    slot_sorted = fill_sorted + rank_sorted
+    ok = valid_sorted & (slot_sorted < cfg.bucket_size)
+
+    # heap assignment in the same (sorted) order => within a bucket, heap
+    # failures are a suffix of its ranks, preserving the prefix invariant
+    alloc_rank = jnp.cumsum(ok.astype(jnp.int32)) - 1
+    ok = ok & (alloc_rank < hmap.free_top)
+    n_alloc = jnp.sum(ok.astype(jnp.int32))
+
+    new_ptrs = hmap.free_list[
+        jnp.clip(hmap.free_top - 1 - alloc_rank, 0, hmap.free_list.shape[0] - 1)
+    ]
+
+    # scatter table entries (drop failures via OOB index)
+    table_idx = jnp.where(
+        ok,
+        jnp.clip(b_sorted, 0, cfg.num_buckets - 1) * cfg.bucket_size
+        + jnp.clip(slot_sorted, 0, cfg.bucket_size - 1),
+        hmap.keys.shape[0],
+    )
+    keys_sorted = uniq[order]
+    keys_new = hmap.keys.at[table_idx].set(keys_sorted, mode="drop")
+    ptrs_new = hmap.ptrs.at[table_idx].set(new_ptrs, mode="drop")
+
+    # bucket fill counts
+    fill_add_idx = jnp.where(ok, b_sorted, cfg.num_buckets)
+    bucket_fill = hmap.bucket_fill.at[fill_add_idx].add(1, mode="drop")
+
+    # zero-init freshly allocated rows (they may hold stale data from a
+    # previously freed block)
+    row_idx = jnp.where(ok, new_ptrs, hmap.tsdf.shape[0])
+    tsdf = hmap.tsdf.at[row_idx].set(0.0, mode="drop")
+    weight = hmap.weight.at[row_idx].set(0.0, mode="drop")
+
+    return (
+        hmap._replace(
+            keys=keys_new,
+            ptrs=ptrs_new,
+            bucket_fill=bucket_fill,
+            free_top=hmap.free_top - n_alloc,
+            tsdf=tsdf,
+            weight=weight,
+        ),
+        n_alloc,
+    )
+
+
+# --------------------------------------------------------------------------
+# visible-set compaction
+# --------------------------------------------------------------------------
+
+def block_in_frustum(
+    blocks: jnp.ndarray,
+    T_wc: jnp.ndarray,
+    cam: CameraConfig,
+    cfg: HashConfig,
+    fusion: FusionConfig,
+    margin_px: float = 32.0,
+) -> jnp.ndarray:
+    """Conservative frustum test of block *centers* with a pixel margin.
+
+    The reference tests only the min corner with no margin and with a
+    suspect transform direction (blockInFrustum, VoxelUtils.cu:343-359,
+    author's own TODO at :348).  Center + margin is conservative for the
+    whole block.
+    """
+    half = 0.5 * cfg.block_size * fusion.voxel_size
+    center = (
+        coords.block2world(blocks, fusion.voxel_size, cfg.block_size) + half
+    )
+    pc = se3.apply(se3.inverse(T_wc), center)
+    z = pc[..., 2]
+    safe_z = jnp.maximum(z, 1e-6)
+    u = pc[..., 0] / safe_z * cam.fx + cam.cx
+    v = pc[..., 1] / safe_z * cam.fy + cam.cy
+    m = margin_px
+    near = cam.depth_min - 2.0 * half
+    far = cam.depth_max + 2.0 * half
+    return (
+        (z > near)
+        & (z < far)
+        & (u >= -m)
+        & (u < cam.width + m)
+        & (v >= -m)
+        & (v < cam.height + m)
+    )
+
+
+def compact_visible(
+    hmap: HashMap,
+    cfg: HashConfig,
+    T_wc: jnp.ndarray,
+    cam: CameraConfig,
+    fusion: FusionConfig,
+) -> ActiveSet:
+    """Stream-compact allocated, in-frustum entries into a padded array.
+
+    cumsum + scatter replacement for flattenKernel's two-level atomic
+    counters (reference: VoxelUtils.cu:718-768).
+    """
+    blocks_all = coords.unpack_block_key(hmap.keys, cfg.key_bits)
+    mask = (hmap.ptrs != FREE_PTR) & block_in_frustum(
+        blocks_all, T_wc, cam, cfg, fusion
+    )
+    pos = jnp.cumsum(mask.astype(jnp.int32)) - 1
+    idx = jnp.where(mask & (pos < cfg.max_active), pos, cfg.max_active)
+    out_blocks = jnp.zeros((cfg.max_active + 1, 3), dtype=jnp.int32)
+    out_ptrs = jnp.full((cfg.max_active + 1,), FREE_PTR, dtype=jnp.int32)
+    out_blocks = out_blocks.at[idx].set(blocks_all, mode="drop")
+    out_ptrs = out_ptrs.at[idx].set(hmap.ptrs, mode="drop")
+    count = jnp.minimum(jnp.sum(mask.astype(jnp.int32)), cfg.max_active)
+    return ActiveSet(
+        blocks=out_blocks[:-1], ptrs=out_ptrs[:-1], count=count
+    )
+
+
+# --------------------------------------------------------------------------
+# TSDF fusion over the active set
+# --------------------------------------------------------------------------
+
+def _local_offsets(block_size: int) -> jnp.ndarray:
+    """(V, 3) in-block voxel offsets in linearization order (z-major,
+    reference VoxelUtils.cu:311-326)."""
+    return coords.delinearize_voxel(
+        jnp.arange(block_size**3, dtype=jnp.int32), block_size
+    )
+
+
+def integrate(
+    hmap: HashMap,
+    active: ActiveSet,
+    cfg: HashConfig,
+    depth_m: jnp.ndarray,
+    T_wc: jnp.ndarray,
+    cam: CameraConfig,
+    fusion: FusionConfig,
+) -> HashMap:
+    """Curless-Levoy fusion over the padded active set.
+
+    One fused computation over [max_active, 512] voxels replaces the
+    reference's dynamic one-CUDA-block-per-visible-block launch
+    (integrateDepthMapKernel, VoxelUtils.cu:789-852) — XLA needs static
+    shapes, padding rows are masked by ptr == -1.
+    """
+    A = active.ptrs.shape[0]
+    V = cfg.voxels_per_block
+    local = _local_offsets(cfg.block_size)                 # (V, 3)
+
+    vox = (
+        coords.block2voxel(active.blocks, cfg.block_size)[:, None, :] + local
+    )                                                      # (A, V, 3)
+    world = coords.voxel2world(vox, fusion.voxel_size)
+    pc = se3.apply(se3.inverse(T_wc), world.reshape(-1, 3)).reshape(A, V, 3)
+    ij, in_img = cam_geom.project_nearest(pc, cam)
+
+    u = jnp.clip(ij[..., 0], 0, cam.width - 1)
+    v = jnp.clip(ij[..., 1], 0, cam.height - 1)
+    depth = depth_m[v, u]                                  # (A, V)
+
+    z = pc[..., 2]
+    sdf = depth - z
+    trunc = fusion.truncation + fusion.trunc_scale * depth
+    row_valid = active.ptrs != FREE_PTR
+    valid = (
+        row_valid[:, None]
+        & in_img
+        & (depth > 0)
+        & (z > 0)
+        & (sdf > -trunc)
+    )
+    sdf = jnp.clip(sdf, -trunc, trunc)
+
+    w_new = jnp.where(valid, sample_weight(depth, cam, fusion), 0.0)
+
+    safe_ptr = jnp.clip(active.ptrs, 0, hmap.tsdf.shape[0] - 1)
+    old_sdf = hmap.tsdf[safe_ptr]                          # (A, V) row gather
+    old_w = hmap.weight[safe_ptr]
+    w_sum = old_w + w_new
+    fused = jnp.where(
+        w_new > 0,
+        (old_sdf * old_w + sdf * w_new) / jnp.maximum(w_sum, 1e-12),
+        old_sdf,
+    )
+    new_w = jnp.where(w_new > 0, jnp.minimum(w_sum, fusion.max_weight), old_w)
+
+    row_idx = jnp.where(row_valid, active.ptrs, hmap.tsdf.shape[0])
+    tsdf = hmap.tsdf.at[row_idx].set(fused, mode="drop")
+    weight = hmap.weight.at[row_idx].set(new_w, mode="drop")
+    return hmap._replace(tsdf=tsdf, weight=weight)
+
+
+# --------------------------------------------------------------------------
+# garbage collection (free stale blocks)
+# --------------------------------------------------------------------------
+
+def garbage_collect(
+    hmap: HashMap,
+    cfg: HashConfig,
+    min_weight: float,
+    max_free: int,
+) -> Tuple[HashMap, jnp.ndarray]:
+    """Free blocks whose maximum voxel weight is below ``min_weight``.
+
+    Implements what the reference's dead deleteVoxelEntry intended
+    (VoxelUtils.cu:544-604) as a whole-table batched op: mark, re-compact
+    every bucket's slots (preserving the prefix invariant), push freed rows
+    back on the stack.  Returns (map, n_freed).
+    """
+    T = hmap.keys.shape[0]
+    allocated = hmap.ptrs != FREE_PTR
+    safe_ptr = jnp.clip(hmap.ptrs, 0, hmap.tsdf.shape[0] - 1)
+    block_w = jnp.max(hmap.weight[safe_ptr], axis=-1)      # (T,)
+    stale = allocated & (block_w < min_weight)
+
+    # cap the number freed per call (bounds the free-stack scatter)
+    stale_rank = jnp.cumsum(stale.astype(jnp.int32)) - 1
+    freeing = stale & (stale_rank < max_free)
+    n_free = jnp.sum(freeing.astype(jnp.int32))
+
+    # push freed rows onto the stack
+    stack_idx = jnp.where(
+        freeing, hmap.free_top + stale_rank, hmap.free_list.shape[0]
+    )
+    free_list = hmap.free_list.at[jnp.clip(stack_idx, 0, hmap.free_list.shape[0] - 1)].set(
+        jnp.where(freeing, hmap.ptrs, 0), mode="drop"
+    ) if False else hmap.free_list.at[stack_idx].set(hmap.ptrs, mode="drop")
+
+    # clear freed entries
+    keys = jnp.where(freeing, EMPTY_KEY, hmap.keys)
+    ptrs = jnp.where(freeing, FREE_PTR, hmap.ptrs)
+
+    # re-compact each bucket to a prefix (stable within the bucket)
+    S = cfg.bucket_size
+    kb = keys.reshape(cfg.num_buckets, S)
+    pb = ptrs.reshape(cfg.num_buckets, S)
+    keep = kb != EMPTY_KEY
+    # stable order: occupied slots first, preserving relative order
+    order = jnp.argsort(~keep, axis=1, stable=True)
+    kb = jnp.take_along_axis(kb, order, axis=1)
+    pb = jnp.take_along_axis(pb, order, axis=1)
+    bucket_fill = jnp.sum(keep.astype(jnp.int32), axis=1)
+
+    return (
+        hmap._replace(
+            keys=kb.reshape(T),
+            ptrs=pb.reshape(T),
+            bucket_fill=bucket_fill,
+            free_list=free_list,
+            free_top=hmap.free_top + n_free,
+        ),
+        n_free,
+    )
+
+
+# --------------------------------------------------------------------------
+# whole-frame map update
+# --------------------------------------------------------------------------
+
+def allocate_from_frame(
+    hmap: HashMap,
+    frame: Frame,
+    T_wc: jnp.ndarray,
+    cam: CameraConfig,
+    cfg: HashConfig,
+    fusion: FusionConfig,
+) -> Tuple[HashMap, jnp.ndarray]:
+    """Per-frame allocation (reference: allocBlocks, VoxelUtils.cu:708-716)."""
+    cand = frame_candidate_keys(frame, T_wc, cam, cfg, fusion)
+    return insert_blocks(hmap, cfg, cand)
+
+
+def fuse_frame(
+    hmap: HashMap,
+    frame: Frame,
+    T_wc: jnp.ndarray,
+    cam: CameraConfig,
+    cfg: HashConfig,
+    fusion: FusionConfig,
+) -> Tuple[HashMap, ActiveSet, jnp.ndarray]:
+    """alloc -> compact -> integrate: the reference's per-frame
+    ``SDF_Hashtable::integrate`` sequence (SDF_Hashtable.cpp:11-40) as one
+    fused on-device computation.  Returns (map, active_set, n_allocated)."""
+    hmap, n_alloc = allocate_from_frame(hmap, frame, T_wc, cam, cfg, fusion)
+    active = compact_visible(hmap, cfg, T_wc, cam, fusion)
+    hmap = integrate(hmap, active, cfg, frame.depth, T_wc, cam, fusion)
+    return hmap, active, n_alloc

@@ -1,0 +1,216 @@
+"""Point-to-plane ICP camera tracking solved by Gauss-Newton, fully on-device.
+
+TPU-native redesign of the reference's tracking stack:
+
+- Projective data association + point-to-plane residual
+  (reference: FindCorrespondences, CameraTrackingUtils.cu:131-185) becomes a
+  vectorized gather over the whole image — no atomics; the residual
+  reduction is a deterministic ``jnp.sum`` instead of
+  ``atomicAdd(&globalError, d)`` (CameraTrackingUtils.cu:175).
+- The Jacobian rows [n, p x n] (reference: Solver.cu:26-37) are never
+  materialized as an N x 6 matrix in HBM the way the reference stores
+  d_JacMat; the 6x6 JTJ and 6-vector JTr are formed directly by einsum
+  contractions, replacing cublasSsyrk/cublasSgemv
+  (reference: Solver.cpp:80-87).  This is the fused normal-equation
+  reduction the reference's dead LinearSystem.cu:25-90 path attempted.
+- The 20-iteration host-driven loop with 4+ host<->device syncs per
+  iteration (reference: CameraTracking.cpp:35-66) becomes a single
+  ``lax.while_loop`` inside jit: zero host round-trips.
+- The 6x6 solve uses damped Cholesky instead of the reference's explicit
+  inverse (reference: Solver.cpp:109-110; its safer LDLT path
+  SolveJacobianSystem Solver.cpp:126-139 existed but was unused).
+
+Deviations from the reference, on purpose:
+- The residual gate is ``|r| < dist_thresh``; the reference gates ``r <
+  distThres`` only (CameraTrackingUtils.cu:170), silently accepting
+  arbitrarily negative residuals.
+- The Jacobian uses the transformed source point (standard linearization);
+  the reference uses the destination point (Solver.cu:49) — equivalent at
+  convergence, worse-conditioned far from it.
+- A normal-compatibility gate (dot of rotated source normal and target
+  normal) is enforced; the reference declares ``normalThres`` but never
+  tests it (CameraTrackingUtils.cu:135).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import CameraConfig, ICPConfig
+from ..geometry import se3
+from ..geometry import camera as cam_geom
+from .preprocess import Frame
+
+
+class NormalSystem(NamedTuple):
+    """Packed 6x6 Gauss-Newton normal equations and diagnostics."""
+
+    JTJ: jnp.ndarray     # (6, 6)
+    JTr: jnp.ndarray     # (6,)
+    error: jnp.ndarray   # scalar: sum of squared residuals over inliers
+    count: jnp.ndarray   # scalar: number of inlier correspondences
+
+
+class ICPResult(NamedTuple):
+    transform: jnp.ndarray   # (4, 4) src -> tgt camera transform
+    error: jnp.ndarray       # mean squared point-to-plane residual
+    count: jnp.ndarray       # inliers at the final iteration
+    iters: jnp.ndarray       # iterations executed
+
+
+def associate(
+    T: jnp.ndarray,
+    src: Frame,
+    tgt: Frame,
+    cam: CameraConfig,
+    cfg: ICPConfig,
+):
+    """Projective data association under current estimate T.
+
+    Returns (p_src_transformed, n_tgt, residual, valid_mask), each (H, W, ...).
+    """
+    p = se3.apply(T, src.vertices)                    # (H, W, 3)
+    n_src = se3.apply_rotation(T, src.normals)
+    ij, in_image = cam_geom.project_nearest(p, cam)
+
+    # clamp for the gather; validity handled by mask
+    u = jnp.clip(ij[..., 0], 0, cam.width - 1)
+    v = jnp.clip(ij[..., 1], 0, cam.height - 1)
+    p_t = tgt.vertices[v, u]                          # (H, W, 3) gather
+    n_t = tgt.normals[v, u]
+
+    r = jnp.sum((p - p_t) * n_t, axis=-1)             # point-to-plane residual
+
+    src_valid = src.vertices[..., 2] != 0
+    tgt_valid = (p_t[..., 2] != 0) & (jnp.sum(n_t * n_t, axis=-1) > 0.5)
+    n_ok = jnp.sum(n_src * n_t, axis=-1) > cfg.normal_thresh
+    valid = (
+        src_valid
+        & in_image
+        & tgt_valid
+        & n_ok
+        & (jnp.abs(r) < cfg.dist_thresh)
+    )
+    return p, n_t, r, valid
+
+
+def build_normal_system(
+    p: jnp.ndarray,
+    n_t: jnp.ndarray,
+    r: jnp.ndarray,
+    valid: jnp.ndarray,
+) -> NormalSystem:
+    """Form JTJ / JTr directly from the association maps.
+
+    J row for pixel i: [n_i, (p_i x n_i)] (translation block first,
+    reference: Solver.cu:30-35).  Contractions run on the MXU as
+    (6 x N) @ (N x 6) matmuls.
+    """
+    w = valid.astype(jnp.float32)
+    cross = jnp.cross(p, n_t)
+    J = jnp.concatenate([n_t, cross], axis=-1)         # (H, W, 6)
+    J = (J * w[..., None]).reshape(-1, 6)
+    rw = (r * w).reshape(-1)
+
+    JTJ = J.T @ J                                       # (6, 6) on MXU
+    JTr = J.T @ rw
+    error = jnp.sum(rw * rw)
+    count = jnp.sum(w)
+    return NormalSystem(JTJ=JTJ, JTr=JTr, error=error, count=count)
+
+
+def solve_normal_system(
+    sys: NormalSystem, damping: float
+) -> jnp.ndarray:
+    """Damped Cholesky solve of (JTJ + lambda I) delta = -JTr.
+
+    Replaces the reference's explicit inverse (Solver.cpp:109-110).  The
+    damping both regularizes degenerate geometry and makes the factorization
+    safe when count ~ 0.
+    """
+    A = sys.JTJ + damping * jnp.eye(6, dtype=sys.JTJ.dtype)
+    # scale-invariant extra damping when the system is empty/degenerate
+    A = A + jnp.where(sys.count > 6, 0.0, 1.0) * jnp.eye(6, dtype=A.dtype)
+    L, low = jax.scipy.linalg.cho_factor(A, lower=True)
+    delta = jax.scipy.linalg.cho_solve((L, low), -sys.JTr)
+    # a non-finite solve (should not happen with damping) yields no update
+    return jnp.where(jnp.all(jnp.isfinite(delta)), delta, 0.0)
+
+
+@partial(jax.jit, static_argnames=("cam", "cfg"))
+def icp_align(
+    src: Frame,
+    tgt: Frame,
+    cam: CameraConfig,
+    cfg: ICPConfig,
+    init_T: jnp.ndarray | None = None,
+) -> ICPResult:
+    """Align src onto tgt: returns T such that T @ src ~= tgt.
+
+    The entire iteration runs inside one jitted ``lax.while_loop``
+    (replacing reference CameraTracking.cpp:35-66's host loop), with a
+    convergence test on the update norm — the reference's only early-out
+    was ``error == 0`` (CameraTracking.cpp:55-58).
+    """
+    if init_T is None:
+        init_T = se3.identity()
+
+    def step(T):
+        p, n_t, r, valid = associate(T, src, tgt, cam, cfg)
+        sys = build_normal_system(p, n_t, r, valid)
+        delta = solve_normal_system(sys, cfg.damping)
+        T_new = se3.exp(delta) @ T
+        return T_new, sys, jnp.sum(delta * delta)
+
+    def cond(state):
+        T, it, dnorm, err, cnt = state
+        return (it < cfg.max_iters) & (dnorm > cfg.update_tol**2)
+
+    def body(state):
+        T, it, dnorm, err, cnt = state
+        T_new, sys, d2 = step(T)
+        mse = sys.error / jnp.maximum(sys.count, 1.0)
+        return (T_new, it + 1, d2, mse, sys.count)
+
+    init = (
+        init_T,
+        jnp.int32(0),
+        jnp.float32(jnp.inf),
+        jnp.float32(jnp.inf),
+        jnp.float32(0.0),
+    )
+    T, iters, _, err, count = jax.lax.while_loop(cond, body, init)
+    return ICPResult(transform=T, error=err, count=count, iters=iters)
+
+
+def icp_align_pyramid(
+    depth_src_m: jnp.ndarray,
+    depth_tgt_m: jnp.ndarray,
+    cam: CameraConfig,
+    cfg: ICPConfig,
+    init_T: jnp.ndarray | None = None,
+) -> ICPResult:
+    """Coarse-to-fine ICP over a depth pyramid.
+
+    The reference declared a pyramid schedule but never built one
+    (common.h:28-29 unused); this is the real thing.  Levels are static
+    Python iteration (each level jit-compiles once).
+    """
+    from .preprocess import downsample_depth, preprocess_metric
+
+    T = se3.identity() if init_T is None else init_T
+    result = None
+    levels = sorted(set(cfg.pyramid), reverse=True)
+    for factor in levels:
+        lcam = cam.scaled(factor) if factor > 1 else cam
+        d_s = downsample_depth(depth_src_m, factor) if factor > 1 else depth_src_m
+        d_t = downsample_depth(depth_tgt_m, factor) if factor > 1 else depth_tgt_m
+        src = preprocess_metric(d_s, lcam)
+        tgt = preprocess_metric(d_t, lcam)
+        result = icp_align(src, tgt, lcam, cfg, init_T=T)
+        T = result.transform
+    return result

@@ -1,0 +1,120 @@
+"""Depth-frame preprocessing: back-projection and normal estimation.
+
+TPU-native re-expression of the reference's two preprocessing kernels
+(reference: CameraTrackingUtils.cu:50-113, launched by ``preProcess``
+:115-120): one fused jitted function over the whole image instead of two
+SIMT kernel launches with a host sync between them.
+
+Validity convention (kept from the reference): invalid vertices have z == 0;
+invalid normals are the zero vector (CameraTrackingUtils.cu:90,153).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import CameraConfig
+from ..geometry import camera as cam_geom
+
+
+class Frame(NamedTuple):
+    """Preprocessed depth frame: camera-space geometry maps, all (H, W, ...)."""
+
+    vertices: jnp.ndarray   # (H, W, 3) camera-space positions; z==0 invalid
+    normals: jnp.ndarray    # (H, W, 3) unit normals; zero vector invalid
+    depth: jnp.ndarray      # (H, W) metric depth; 0 invalid
+
+
+def depth_to_meters(depth_raw: jnp.ndarray, cam: CameraConfig) -> jnp.ndarray:
+    """uint16 depth image -> metric depth, gating the valid range.
+
+    The reference divides by 5000 with no range gate in the kernel
+    (CameraTrackingUtils.cu:64); the range gate [depth_min, depth_max]
+    (common.h:46 maxIntegrationDistance) is applied here once.
+    """
+    d = depth_raw.astype(jnp.float32) / cam.depth_scale
+    valid = (d >= cam.depth_min) & (d <= cam.depth_max)
+    return jnp.where(valid, d, 0.0)
+
+
+def compute_vertices(depth_m: jnp.ndarray, cam: CameraConfig) -> jnp.ndarray:
+    """Back-project metric depth to camera-space vertices
+    (reference: calculateVertexPositions, CameraTrackingUtils.cu:50-74)."""
+    rays = cam_geom.pixel_rays(cam, dtype=depth_m.dtype)
+    return rays * depth_m[..., None]
+
+
+def compute_normals(vertices: jnp.ndarray) -> jnp.ndarray:
+    """Central-difference cross-product normals
+    (reference: calculateNormals, CameraTrackingUtils.cu:76-113).
+
+    n = normalize(cross(v[y+1,x] - v[y-1,x], v[y,x+1] - v[y,x-1])), zero at
+    the border or wherever any participating vertex is invalid.
+    """
+    # jnp.roll wraps, so border rows/cols are masked out below.
+    up = jnp.roll(vertices, 1, axis=0)     # v[y-1, x]
+    down = jnp.roll(vertices, -1, axis=0)  # v[y+1, x]
+    left = jnp.roll(vertices, 1, axis=1)   # v[y, x-1]
+    right = jnp.roll(vertices, -1, axis=1)  # v[y, x+1]
+
+    n = jnp.cross(down - up, right - left)
+    length = jnp.linalg.norm(n, axis=-1, keepdims=True)
+    n = jnp.where(length > 1e-12, n / jnp.maximum(length, 1e-12), 0.0)
+
+    H, W = vertices.shape[:2]
+    vy = jnp.arange(H)[:, None]
+    vx = jnp.arange(W)[None, :]
+    interior = (vy > 0) & (vy < H - 1) & (vx > 0) & (vx < W - 1)
+
+    def z_ok(a):
+        return a[..., 2] != 0
+
+    valid = (
+        interior
+        & z_ok(vertices)
+        & z_ok(up)
+        & z_ok(down)
+        & z_ok(left)
+        & z_ok(right)
+    )
+    return jnp.where(valid[..., None], n, 0.0)
+
+
+def preprocess(depth_raw: jnp.ndarray, cam: CameraConfig) -> Frame:
+    """Full frontend: raw depth -> Frame (vertices, normals, metric depth)."""
+    depth_m = depth_to_meters(depth_raw, cam)
+    vertices = compute_vertices(depth_m, cam)
+    normals = compute_normals(vertices)
+    return Frame(vertices=vertices, normals=normals, depth=depth_m)
+
+
+def preprocess_metric(depth_m: jnp.ndarray, cam: CameraConfig) -> Frame:
+    """Frontend for already-metric depth (e.g. raycast model maps)."""
+    valid = (depth_m >= cam.depth_min) & (depth_m <= cam.depth_max)
+    depth_m = jnp.where(valid, depth_m, 0.0)
+    vertices = compute_vertices(depth_m, cam)
+    normals = compute_normals(vertices)
+    return Frame(vertices=vertices, normals=normals, depth=depth_m)
+
+
+def downsample_depth(depth_m: jnp.ndarray, factor: int) -> jnp.ndarray:
+    """Depth pyramid level: subsample valid-aware 2x2 min-pooling per level.
+
+    The reference declares an ICP pyramid {4, 5, 10} but never uses it
+    (common.h:28-29); here the pyramid is real.  Min-pooling (over valid
+    pixels) avoids averaging across depth discontinuities.
+    """
+    out = depth_m
+    f = factor
+    while f > 1:
+        H, W = out.shape
+        tiles = out.reshape(H // 2, 2, W // 2, 2).transpose(0, 2, 1, 3)
+        tiles = tiles.reshape(H // 2, W // 2, 4)
+        big = jnp.where(tiles > 0, tiles, jnp.inf)
+        m = jnp.min(big, axis=-1)
+        out = jnp.where(jnp.isfinite(m), m, 0.0)
+        f //= 2
+    return out
