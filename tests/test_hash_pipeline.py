@@ -1,0 +1,70 @@
+"""End-to-end voxel-hash SLAM (the flagship, BASELINE.json config 2):
+synthetic sequence -> frame-to-model tracking + hash fusion + GC + raycast,
+ATE-checked."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from voxelhashing_demo_tpu.config import (
+    CameraConfig,
+    FusionConfig,
+    GCConfig,
+    HashConfig,
+    PipelineConfig,
+    RaycastConfig,
+)
+from voxelhashing_demo_tpu.models import hash_slam
+from voxelhashing_demo_tpu.utils import metrics, synthetic
+
+CFG = PipelineConfig(
+    camera=CameraConfig(width=160, height=120, fx=129.3, fy=129.1,
+                        cx=79.65, cy=59.8),
+    fusion=FusionConfig(voxel_size=0.02, truncation=0.08),
+    hash=HashConfig(num_buckets=8192, bucket_size=4, num_blocks=8192,
+                    max_active=4096, max_new_per_frame=4096),
+    raycast=RaycastConfig(max_steps=128, cache_dims=(192, 192, 192)),
+    gc=GCConfig(enabled=True, interval=4),
+)
+
+
+def test_hash_slam_sequence():
+    num_frames = 10
+    depths, gt_poses = synthetic.make_sequence(
+        CFG.camera, num_frames, trans_amp=0.05, rot_amp_deg=2.5
+    )
+    slam = hash_slam.HashSLAM(CFG)
+    for d in depths:
+        slam.process(d)
+
+    assert not bool(slam.infos[0].tracked)
+    assert all(bool(i.tracked) for i in slam.infos[2:])
+
+    # map stats sane: blocks allocated once, active set nonempty, no leak
+    assert int(slam.infos[0].blocks_allocated) > 100
+    assert int(slam.infos[-1].blocks_allocated) < int(
+        slam.infos[0].blocks_allocated
+    )
+    assert int(slam.infos[-1].blocks_active) > 100
+    assert int(slam.infos[-1].free_blocks) > 0
+
+    ate = metrics.ate_rmse(slam.trajectory, gt_poses, align=False)
+    assert ate < 0.012, f"ATE {ate} m"
+
+    out = slam.render()
+    d_true = synthetic.render_depth(jnp.asarray(gt_poses[-1]), CFG.camera)
+    both = np.asarray(out.hit) & (np.asarray(d_true) > 0)
+    err = np.abs(np.asarray(out.depth) - np.asarray(d_true))[both]
+    assert np.median(err) < 2 * CFG.fusion.voxel_size
+
+
+def test_hash_slam_gc_runs():
+    depths, _ = synthetic.make_sequence(CFG.camera, 5, trans_amp=0.0,
+                                        rot_amp_deg=0.0)
+    slam = hash_slam.HashSLAM(CFG)
+    for d in depths:
+        slam.process(d)
+    # GC fired at frame index interval-1 (static scene: nothing to free)
+    gc_frames = [int(i.blocks_freed) for i in slam.infos]
+    assert len(gc_frames) == 5
+    # stable map: allocations settle to ~zero
+    assert int(slam.infos[-1].blocks_allocated) < 20

@@ -146,6 +146,9 @@ class RaycastConfig:
     near: float = 0.1
     far: float = 5.0
     normal_mode: str = "gradient"  # "gradient" | "image"
+    # view-local dense cache the hash raycaster scatters visible blocks
+    # into (hash_raycast.densify_active); voxels per axis
+    cache_dims: Tuple[int, int, int] = (256, 256, 256)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -197,5 +200,5 @@ def tiny_config() -> PipelineConfig:
         grid=DenseGridConfig(dims=(64, 64, 64), origin=(-0.64, -0.64, 0.0)),
         hash=HashConfig(num_buckets=1024, bucket_size=4, num_blocks=1024,
                         max_active=512, max_new_per_frame=512),
-        raycast=RaycastConfig(max_steps=64),
+        raycast=RaycastConfig(max_steps=64, cache_dims=(128, 128, 128)),
     )

@@ -106,17 +106,20 @@ def spatial_hash(block: jnp.ndarray, num_buckets: int) -> jnp.ndarray:
 def pack_block_key(block: jnp.ndarray, key_bits: int = 10) -> jnp.ndarray:
     """Pack a block coordinate into a single non-negative int32 key.
 
-    Each axis gets ``key_bits`` bits with a +2^(bits-1) bias; coordinates
-    outside the representable range are clamped (the SLAM working volume at
-    8-voxel blocks x 2 cm voxels and 10 bits spans +-82 m — ample).
-    Key 0x7FFFFFFF is reserved as the EMPTY sentinel.
+    Each axis gets ``key_bits`` bits with a +2^(bits-1) bias.  Coordinates
+    outside the representable range map to the EMPTY_KEY sentinel (i.e. are
+    dropped, never aliased onto in-range blocks).  The working volume at
+    8-voxel blocks x 2 cm voxels and 10 bits spans +-82 m — ample for SLAM.
     """
     bias = 1 << (key_bits - 1)
     lim = (1 << key_bits) - 1
-    b = jnp.clip(block + bias, 0, lim)
-    return (
+    b = block + bias
+    in_range = jnp.all((b >= 0) & (b <= lim), axis=-1)
+    b = jnp.clip(b, 0, lim)
+    key = (
         (b[..., 0] << (2 * key_bits)) | (b[..., 1] << key_bits) | b[..., 2]
     ).astype(jnp.int32)
+    return jnp.where(in_range, key, EMPTY_KEY)
 
 
 def unpack_block_key(key: jnp.ndarray, key_bits: int = 10) -> jnp.ndarray:

@@ -1,0 +1,167 @@
+"""Voxel-hash SLAM pipeline — the flagship model (BASELINE.json config 2).
+
+Per-frame step, all inside one jitted computation:
+
+    preprocess -> frame-to-model ICP -> hash alloc/compact/integrate
+    -> (periodic GC) -> raycast model via the view-local dense cache
+
+This is the reference's full intended system (SDF_Hashtable::integrate per
+frame, SDF_Hashtable.cpp:11-40, plus the Align and raycast stages it never
+wired together) with unbounded-scene storage via the deterministic hash
+table and streaming garbage collection the reference lacked.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import PipelineConfig
+from ..geometry import se3
+from ..ops import hash_ops
+from ..ops import hash_raycast
+from ..ops import icp as icp_ops
+from ..ops import preprocess as pre_ops
+from ..ops import raycast as rc_ops
+
+
+class HashSLAMState(NamedTuple):
+    hmap: hash_ops.HashMap
+    pose: jnp.ndarray           # (4, 4) camera-to-world of last frame
+    model: pre_ops.Frame        # raycast model maps in last camera frame
+    frame_idx: jnp.ndarray      # () int32
+
+
+class StepInfo(NamedTuple):
+    pose: jnp.ndarray
+    icp_error: jnp.ndarray
+    icp_count: jnp.ndarray
+    icp_iters: jnp.ndarray
+    tracked: jnp.ndarray
+    blocks_allocated: jnp.ndarray   # this frame
+    blocks_active: jnp.ndarray      # visible set size
+    blocks_freed: jnp.ndarray       # by GC this frame
+    free_blocks: jnp.ndarray        # heap headroom
+
+
+def create(config: PipelineConfig) -> HashSLAMState:
+    cam = config.camera
+    H, W = cam.height, cam.width
+    empty = pre_ops.Frame(
+        vertices=jnp.zeros((H, W, 3), dtype=jnp.float32),
+        normals=jnp.zeros((H, W, 3), dtype=jnp.float32),
+        depth=jnp.zeros((H, W), dtype=jnp.float32),
+    )
+    return HashSLAMState(
+        hmap=hash_ops.create(config.hash),
+        pose=se3.identity(),
+        model=empty,
+        frame_idx=jnp.int32(0),
+    )
+
+
+@partial(jax.jit, static_argnames=("config",))
+def step(
+    state: HashSLAMState,
+    depth_raw: jnp.ndarray,
+    config: PipelineConfig,
+):
+    """One SLAM frame.  depth_raw: (H, W) uint16 in camera units."""
+    cam = config.camera
+    hcfg = config.hash
+    frame = pre_ops.preprocess(depth_raw, cam)
+
+    # --- track (frame-to-model) -------------------------------------------
+    model_valid = jnp.sum(state.model.depth > 0) > 100
+    result = icp_ops.icp_align(frame, state.model, cam, config.icp)
+    ok = model_valid & (result.count > 100) & jnp.all(
+        jnp.isfinite(result.transform)
+    )
+    T_rel = jnp.where(ok, result.transform, se3.identity())
+    pose_new = state.pose @ T_rel
+
+    # --- map update: alloc -> compact -> integrate ------------------------
+    hmap, active, n_alloc = hash_ops.fuse_frame(
+        state.hmap, frame, pose_new, cam, hcfg, config.fusion
+    )
+
+    # --- periodic garbage collection --------------------------------------
+    if config.gc.enabled:
+        def run_gc(m):
+            return hash_ops.garbage_collect(
+                m, hcfg, config.gc.min_weight, config.gc.max_blocks_per_gc
+            )
+
+        def no_gc(m):
+            return m, jnp.int32(0)
+
+        do_gc = (state.frame_idx % config.gc.interval) == (
+            config.gc.interval - 1
+        )
+        hmap, n_freed = jax.lax.cond(do_gc, run_gc, no_gc, hmap)
+    else:
+        n_freed = jnp.int32(0)
+
+    # --- raycast model for the next frame ---------------------------------
+    rc = hash_raycast.raycast_hash(
+        hmap,
+        active,
+        hcfg,
+        pose_new,
+        cam,
+        config.raycast,
+        config.fusion,
+        cache_dims=config.raycast.cache_dims,
+    )
+    model = rc_ops.model_frame(rc)
+
+    new_state = HashSLAMState(
+        hmap=hmap,
+        pose=pose_new,
+        model=model,
+        frame_idx=state.frame_idx + 1,
+    )
+    info = StepInfo(
+        pose=pose_new,
+        icp_error=result.error,
+        icp_count=result.count,
+        icp_iters=result.iters,
+        tracked=ok,
+        blocks_allocated=n_alloc,
+        blocks_active=active.count,
+        blocks_freed=n_freed,
+        free_blocks=hmap.free_top,
+    )
+    return new_state, info
+
+
+class HashSLAM:
+    """Host-side convenience wrapper accumulating the trajectory."""
+
+    def __init__(self, config: PipelineConfig):
+        self.config = config
+        self.state = create(config)
+        self.trajectory = []
+        self.infos = []
+
+    def process(self, depth_raw) -> StepInfo:
+        self.state, info = step(self.state, jnp.asarray(depth_raw), self.config)
+        self.trajectory.append(info.pose)
+        self.infos.append(info)
+        return info
+
+    def render(self, pose=None) -> rc_ops.RaycastOutput:
+        """Render from an arbitrary viewpoint (defaults to current pose)."""
+        pose = self.state.pose if pose is None else jnp.asarray(pose)
+        active = hash_ops.compact_visible(
+            self.state.hmap, self.config.hash, pose, self.config.camera,
+            self.config.fusion,
+        )
+        return hash_raycast.raycast_hash(
+            self.state.hmap, active, self.config.hash, pose,
+            self.config.camera, self.config.raycast, self.config.fusion,
+            cache_dims=self.config.raycast.cache_dims,
+        )
