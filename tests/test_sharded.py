@@ -1,0 +1,120 @@
+"""Multi-chip sharded SLAM on a virtual 8-device CPU mesh: the sharded step
+must reproduce the single-chip pipeline (same allocations, matching
+trajectory) while actually partitioning the map."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from voxelhashing_demo_tpu.config import (
+    CameraConfig,
+    FusionConfig,
+    GCConfig,
+    HashConfig,
+    PipelineConfig,
+    RaycastConfig,
+)
+from voxelhashing_demo_tpu.models import hash_slam
+from voxelhashing_demo_tpu.parallel import sharded
+from voxelhashing_demo_tpu.utils import metrics, synthetic
+
+N_DEV = 8
+
+CFG = PipelineConfig(
+    camera=CameraConfig(width=80, height=64, fx=64.6, fy=64.6, cx=39.65,
+                        cy=31.8),
+    fusion=FusionConfig(voxel_size=0.04, truncation=0.16),
+    hash=HashConfig(num_buckets=2048, bucket_size=4, num_blocks=2048,
+                    max_active=1024, max_new_per_frame=1024),
+    raycast=RaycastConfig(max_steps=96, cache_dims=(128, 128, 128)),
+    gc=GCConfig(enabled=True, interval=4),
+)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) >= N_DEV, "conftest must provide 8 CPU devices"
+    return sharded.make_mesh(N_DEV)
+
+
+def test_mesh_has_8_devices(mesh):
+    assert mesh.devices.size == N_DEV
+
+
+def test_sharded_state_is_partitioned(mesh):
+    state = sharded.create_sharded(CFG, mesh)
+    # the map arrays must actually be sharded over the mesh
+    shard_devs = {s.device for s in state.hmap.tsdf.addressable_shards}
+    assert len(shard_devs) == N_DEV
+    assert state.hmap.keys.shape == (CFG.hash.table_size,)
+    assert state.hmap.free_top.shape == (N_DEV,)
+    # pose replicated
+    np.testing.assert_allclose(state.pose, np.eye(4))
+
+
+def test_sharded_matches_single_chip(mesh):
+    num_frames = 6
+    depths, gt = synthetic.make_sequence(CFG.camera, num_frames,
+                                         trans_amp=0.04, rot_amp_deg=2.0)
+
+    single = hash_slam.HashSLAM(CFG)
+    multi = sharded.ShardedHashSLAM(CFG, mesh)
+    for d in depths:
+        single.process(d)
+        multi.process(d)
+
+    # identical allocation decisions (deterministic routing)
+    for i in range(num_frames):
+        assert int(single.infos[i].blocks_allocated) == int(
+            multi.infos[i].blocks_allocated
+        ), f"frame {i} alloc mismatch"
+        assert int(single.infos[i].blocks_active) == int(
+            multi.infos[i].blocks_active
+        ), f"frame {i} active mismatch"
+
+    # trajectories agree to numerical tolerance (psum reduction order)
+    for i in range(num_frames):
+        np.testing.assert_allclose(
+            np.asarray(multi.infos[i].pose),
+            np.asarray(single.infos[i].pose),
+            atol=5e-4,
+        )
+
+    # and both track the ground truth
+    ate_multi = metrics.ate_rmse(multi.trajectory, gt, align=False)
+    assert ate_multi < 0.02, f"sharded ATE {ate_multi}"
+
+
+def test_sharded_map_partition_is_disjoint_and_complete(mesh):
+    depths, _ = synthetic.make_sequence(CFG.camera, 2, trans_amp=0.02,
+                                        rot_amp_deg=1.0)
+    single = hash_slam.HashSLAM(CFG)
+    multi = sharded.ShardedHashSLAM(CFG, mesh)
+    for d in depths:
+        single.process(d)
+        multi.process(d)
+
+    from voxelhashing_demo_tpu.geometry import coords
+
+    # single-chip allocated block set
+    keys_s = np.asarray(single.state.hmap.keys)
+    occ_s = set(keys_s[keys_s != int(coords.EMPTY_KEY)].tolist())
+
+    # sharded allocated block set (global array gathers all shards)
+    keys_m = np.asarray(multi.state.hmap.keys)
+    occ_m = keys_m[keys_m != int(coords.EMPTY_KEY)]
+    assert len(occ_m) == len(set(occ_m.tolist())), "block stored twice"
+    assert set(occ_m.tolist()) == occ_s, "sharded block set != single chip"
+
+    # each key lives on its owner's shard
+    lcfg = sharded.local_hash_config(CFG.hash, N_DEV)
+    per_dev = keys_m.reshape(N_DEV, -1)
+    for dev in range(N_DEV):
+        k = per_dev[dev]
+        k = k[k != int(coords.EMPTY_KEY)]
+        blocks = np.asarray(coords.unpack_block_key(jnp.asarray(k)))
+        owners = np.asarray(
+            coords.spatial_hash(jnp.asarray(blocks), CFG.hash.num_buckets)
+        ) % N_DEV
+        assert (owners == dev).all(), f"foreign block on device {dev}"

@@ -20,6 +20,7 @@ All functions operate on arrays of shape (..., 3) and are shape-polymorphic.
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 HASH_P0 = 73856093
 HASH_P1 = 19349669
@@ -132,4 +133,6 @@ def unpack_block_key(key: jnp.ndarray, key_bits: int = 10) -> jnp.ndarray:
     return jnp.stack([x, y, z], axis=-1).astype(jnp.int32)
 
 
-EMPTY_KEY = jnp.int32(0x7FFFFFFF)
+# host-side scalar, NOT a jnp array: a module-level device array would be
+# embedded as an on-device constant and stall lowering on remote backends
+EMPTY_KEY = np.int32(0x7FFFFFFF)

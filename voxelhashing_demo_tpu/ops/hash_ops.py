@@ -43,13 +43,15 @@ from typing import NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
+import numpy as np
+
 from ..config import CameraConfig, FusionConfig, HashConfig
 from ..geometry import coords, se3
 from ..geometry import camera as cam_geom
 from .preprocess import Frame
 from .tsdf import sample_weight
 
-FREE_PTR = jnp.int32(-1)
+FREE_PTR = np.int32(-1)  # host-side scalar (see coords.EMPTY_KEY)
 EMPTY_KEY = coords.EMPTY_KEY
 
 
@@ -93,15 +95,24 @@ def create(cfg: HashConfig) -> HashMap:
 # lookup
 # --------------------------------------------------------------------------
 
-def lookup_keys(hmap: HashMap, cfg: HashConfig, query_keys: jnp.ndarray):
+def default_bucket_fn(cfg: HashConfig):
+    """Block coords (..., 3) -> bucket index.  The sharded path overrides
+    this with global-hash // n_devices (parallel/sharded.py)."""
+    return lambda blocks: coords.spatial_hash(blocks, cfg.num_buckets)
+
+
+def lookup_keys(
+    hmap: HashMap, cfg: HashConfig, query_keys: jnp.ndarray, bucket_fn=None
+):
     """Vectorized probe: packed keys (N,) -> (ptr (N,), found (N,)).
 
     Replaces getVoxelEntry4Block's linear slot scan
     (reference: VoxelUtils.cu:362-414) with a static unrolled compare over
     the bucket's slots.
     """
+    bucket_fn = bucket_fn or default_bucket_fn(cfg)
     blocks = coords.unpack_block_key(query_keys, cfg.key_bits)
-    bucket = coords.spatial_hash(blocks, cfg.num_buckets)
+    bucket = bucket_fn(blocks)
     base = bucket * cfg.bucket_size
     ptr = jnp.full(query_keys.shape, FREE_PTR, dtype=jnp.int32)
     found = jnp.zeros(query_keys.shape, dtype=bool)
@@ -191,7 +202,7 @@ def _unique_compact(keys: jnp.ndarray, max_out: int) -> jnp.ndarray:
 
 
 def insert_blocks(
-    hmap: HashMap, cfg: HashConfig, cand_keys: jnp.ndarray
+    hmap: HashMap, cfg: HashConfig, cand_keys: jnp.ndarray, bucket_fn=None
 ) -> Tuple[HashMap, jnp.ndarray]:
     """Insert up to max_new unique candidate keys; returns (map, n_inserted).
 
@@ -200,14 +211,15 @@ def insert_blocks(
     scan over bucket-sorted keys, heap slots from a cumsum over the free
     stack, so the same frame always allocates the same blocks.
     """
+    bucket_fn = bucket_fn or default_bucket_fn(cfg)
     uniq = _unique_compact(cand_keys, cfg.max_new_per_frame)
 
     # which of the unique keys are genuinely new?
-    _, found = lookup_keys(hmap, cfg, uniq)
+    _, found = lookup_keys(hmap, cfg, uniq, bucket_fn)
     new_mask = (~found) & (uniq != EMPTY_KEY)
 
     blocks = coords.unpack_block_key(uniq, cfg.key_bits)
-    bucket = coords.spatial_hash(blocks, cfg.num_buckets)
+    bucket = bucket_fn(blocks)
     bucket = jnp.where(new_mask, bucket, cfg.num_buckets)  # sort invalid last
 
     # sort by bucket; segmented rank within each bucket
@@ -490,10 +502,11 @@ def allocate_from_frame(
     cam: CameraConfig,
     cfg: HashConfig,
     fusion: FusionConfig,
+    bucket_fn=None,
 ) -> Tuple[HashMap, jnp.ndarray]:
     """Per-frame allocation (reference: allocBlocks, VoxelUtils.cu:708-716)."""
     cand = frame_candidate_keys(frame, T_wc, cam, cfg, fusion)
-    return insert_blocks(hmap, cfg, cand)
+    return insert_blocks(hmap, cfg, cand, bucket_fn)
 
 
 def fuse_frame(

@@ -101,6 +101,32 @@ def densify_active(
     are dropped (they are beyond raycast range).  Returns a DenseTSDF
     usable by raycast_dense.
     """
+    safe_ptr = jnp.clip(active.ptrs, 0, hmap.tsdf.shape[0] - 1)
+    return densify_rows(
+        active.blocks,
+        hmap.tsdf[safe_ptr],
+        hmap.weight[safe_ptr],
+        active.ptrs != FREE_PTR,
+        cfg,
+        fusion,
+        T_wc,
+        cache_dims,
+    )
+
+
+def densify_rows(
+    blocks: jnp.ndarray,      # (A, 3) block coords
+    src_sdf: jnp.ndarray,     # (A, V) tsdf rows
+    src_w: jnp.ndarray,       # (A, V) weight rows
+    row_valid: jnp.ndarray,   # (A,) bool
+    cfg: HashConfig,
+    fusion: FusionConfig,
+    T_wc: jnp.ndarray,
+    cache_dims: Tuple[int, int, int],
+) -> DenseTSDF:
+    """Core cache builder from explicit block rows — shared by the local
+    path (densify_active) and the multi-chip path, where rows arrive via an
+    all-gather of every device's visible shard (parallel/sharded.py)."""
     dims = jnp.array(cache_dims, dtype=jnp.int32)
     extent = jnp.min(dims).astype(jnp.float32) * fusion.voxel_size
     cam_pos = T_wc[:3, 3]
@@ -113,14 +139,11 @@ def densify_active(
     origin_block = center_block - (dims // (2 * cfg.block_size))
     origin_voxel = coords.block2voxel(origin_block, cfg.block_size)
 
-    A = active.ptrs.shape[0]
-    V = cfg.voxels_per_block
     local = _local_offsets(cfg.block_size)                     # (V, 3)
     vox = (
-        coords.block2voxel(active.blocks, cfg.block_size)[:, None, :] + local
+        coords.block2voxel(blocks, cfg.block_size)[:, None, :] + local
     )                                                          # (A, V, 3)
     rel = vox - origin_voxel                                   # cache coords
-    row_valid = active.ptrs != FREE_PTR
     in_cache = row_valid[:, None] & jnp.all(
         (rel >= 0) & (rel < dims), axis=-1
     )
@@ -132,10 +155,6 @@ def densify_active(
     )
     n_cells = cache_dims[0] * cache_dims[1] * cache_dims[2]
     flat = jnp.where(in_cache, flat, n_cells)                  # OOB -> drop
-
-    safe_ptr = jnp.clip(active.ptrs, 0, hmap.tsdf.shape[0] - 1)
-    src_sdf = hmap.tsdf[safe_ptr]                              # (A, V)
-    src_w = hmap.weight[safe_ptr]
 
     sdf = jnp.full((n_cells,), fusion.truncation, dtype=jnp.float32)
     wgt = jnp.zeros((n_cells,), dtype=jnp.float32)

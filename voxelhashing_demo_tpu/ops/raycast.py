@@ -47,7 +47,18 @@ def raycast_dense(
 ) -> RaycastOutput:
     """Render depth/normal maps of the dense TSDF from pose ``T_wc``
     (camera-to-world)."""
-    rays_cam = cam_geom.pixel_rays(cam)                   # (H, W, 3), z=1
+    return raycast_rays(state, T_wc, cam_geom.pixel_rays(cam), rc)
+
+
+def raycast_rays(
+    state: DenseTSDF,
+    T_wc: jnp.ndarray,
+    rays_cam: jnp.ndarray,
+    rc: RaycastConfig,
+) -> RaycastOutput:
+    """Sphere-trace an arbitrary (h, w, 3) bundle of camera-space rays
+    (z-depth parameterized).  The multi-chip path shards the image rows
+    over devices and calls this on each device's row slice."""
     R = T_wc[:3, :3]
     origin = T_wc[:3, 3]
     dirs = rays_cam @ R.T                                 # world, z-depth param
@@ -87,12 +98,15 @@ def raycast_dense(
         t = jnp.where(hit, t, t + dt)
         return (t, t_hit, hit, prev_sdf, prev_t)
 
-    t0 = jnp.full((H, W), rc.near, dtype=jnp.float32)
+    # all carry components derive from rays_cam so their device-varying
+    # type matches under shard_map (rows may be sharded over a mesh axis)
+    zero = rays_cam[..., 0] * 0.0
+    t0 = zero + rc.near
     init = (
         t0,
-        jnp.zeros((H, W), dtype=jnp.float32),
-        jnp.zeros((H, W), dtype=bool),
-        jnp.full((H, W), jnp.inf, dtype=jnp.float32),  # prev_sdf: +inf = none
+        zero,
+        zero > 1.0,                 # hit: all-false, varying-typed
+        zero + jnp.inf,             # prev_sdf: +inf = none yet
         t0,
     )
     t, t_hit, hit, _, _ = jax.lax.fori_loop(0, rc.max_steps, body, init)

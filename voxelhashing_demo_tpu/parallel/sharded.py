@@ -1,0 +1,356 @@
+"""Multi-chip SLAM: map sharding + collectives over a jax.sharding.Mesh.
+
+The reference is strictly single-GPU (SURVEY.md section 2b — no NCCL/MPI
+anywhere); this module is the framework's scaling dimension, built the TPU
+way (shard_map + XLA collectives over ICI), per BASELINE.json's north star.
+
+Sharding layout over a 1-D device mesh ("d", n):
+
+- **Hash table / block heap (map parallelism):** bucket b of the global
+  table lives on device b % n; each device holds an independent local table
+  of num_buckets/n buckets, its own free-block heap, and num_blocks/n TSDF
+  rows.  A block's owner is a pure function of its coordinates, so
+  allocation routes candidates by ``hash(block) % n`` with no communication
+  other than each device masking the (replicated) candidate set to its own
+  keys.  Fusion is fully local: every voxel belongs to exactly one owner.
+- **Image work (data/spatial parallelism):** ICP residual evaluation and
+  raycasting shard the image rows over devices.
+- **Collectives:** the 6x6 GN normal equations are ``psum``-reduced across
+  devices each ICP iteration (27 floats of traffic — the all-reduce the
+  reference's cuBLAS syrk performed on-chip); the visible-block halo is
+  ``all_gather``-ed for the view-local raycast cache; model maps are
+  ``all_gather``-ed back to full images.
+
+Everything runs inside ONE shard_map-ped jit per frame.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import HashConfig, PipelineConfig
+from ..geometry import coords, se3
+from ..ops import hash_ops, hash_raycast, icp as icp_ops
+from ..ops import preprocess as pre_ops
+from ..ops import raycast as rc_ops
+from ..ops.hash_ops import FREE_PTR, HashMap
+from ..ops.preprocess import Frame
+from ..models.hash_slam import HashSLAMState, StepInfo
+
+AXIS = "d"
+
+
+def make_mesh(n_devices: int) -> Mesh:
+    devices = jax.devices()[:n_devices]
+    return Mesh(devices, (AXIS,))
+
+
+def local_hash_config(cfg: HashConfig, n: int) -> HashConfig:
+    """Per-device shard of the global hash geometry."""
+    assert cfg.num_buckets % n == 0, "num_buckets must divide by mesh size"
+    assert cfg.num_blocks % n == 0
+    assert cfg.max_active % n == 0
+    assert cfg.max_new_per_frame % n == 0
+    return dataclasses.replace(
+        cfg,
+        num_buckets=cfg.num_buckets // n,
+        num_blocks=cfg.num_blocks // n,
+        max_active=cfg.max_active // n,
+        max_new_per_frame=cfg.max_new_per_frame // n,
+    )
+
+
+def _owner(blocks: jnp.ndarray, cfg: HashConfig, n: int) -> jnp.ndarray:
+    """Owning device of each block: global bucket mod n."""
+    return coords.spatial_hash(blocks, cfg.num_buckets) % n
+
+
+def _local_bucket_fn(cfg: HashConfig, n: int):
+    """Global bucket // n is the owner-local bucket index (valid only for
+    keys already routed to their owner)."""
+    return lambda blocks: coords.spatial_hash(blocks, cfg.num_buckets) // n
+
+
+def _map_spec() -> HashMap:
+    """PartitionSpec pytree for the sharded HashMap."""
+    return HashMap(
+        keys=P(AXIS),
+        ptrs=P(AXIS),
+        bucket_fill=P(AXIS),
+        free_list=P(AXIS),
+        free_top=P(AXIS),        # shape (n,) globally, (1,) per device
+        tsdf=P(AXIS),
+        weight=P(AXIS),
+    )
+
+
+def _state_spec() -> HashSLAMState:
+    return HashSLAMState(
+        hmap=_map_spec(),
+        pose=P(),
+        model=Frame(vertices=P(AXIS), normals=P(AXIS), depth=P(AXIS)),
+        frame_idx=P(),
+    )
+
+
+def create_sharded(config: PipelineConfig, mesh: Mesh) -> HashSLAMState:
+    """Initial SLAM state with the map sharded over the mesh."""
+    n = mesh.devices.size
+    lcfg = local_hash_config(config.hash, n)
+    cam = config.camera
+    H, W = cam.height, cam.width
+
+    @partial(
+        jax.shard_map, mesh=mesh, in_specs=(), out_specs=_state_spec()
+    )
+    def _init():
+        local = hash_ops.create(lcfg)
+        local = local._replace(
+            free_top=jnp.full((1,), lcfg.num_blocks, dtype=jnp.int32)
+        )
+        h = H // n  # the model maps live row-sharded over the mesh
+        empty = Frame(
+            vertices=jnp.zeros((h, W, 3), dtype=jnp.float32),
+            normals=jnp.zeros((h, W, 3), dtype=jnp.float32),
+            depth=jnp.zeros((h, W), dtype=jnp.float32),
+        )
+        return HashSLAMState(
+            hmap=local,
+            pose=se3.identity(),
+            model=empty,
+            frame_idx=jnp.int32(0),
+        )
+
+    return jax.jit(_init)()
+
+
+def _icp_sharded(src: Frame, tgt_shard: Frame, cam, cfg, n: int):
+    """Row-sharded point-to-plane ICP with psum-ed normal equations.
+
+    src arrives replicated and is sliced to this device's rows; the target
+    model arrives row-sharded and is all-gathered to the full image, since
+    projective association can land a source point anywhere in it.
+    """
+    i = jax.lax.axis_index(AXIS)
+    h = cam.height // n
+
+    def rows(x):
+        return jax.lax.dynamic_slice_in_dim(x, i * h, h, axis=0)
+
+    src_shard = Frame(
+        vertices=rows(src.vertices),
+        normals=rows(src.normals),
+        depth=rows(src.depth),
+    )
+
+    def full(x):
+        return jax.lax.all_gather(x, AXIS, tiled=True)
+
+    tgt = Frame(
+        vertices=full(tgt_shard.vertices),
+        normals=full(tgt_shard.normals),
+        depth=full(tgt_shard.depth),
+    )
+
+    def gn(T):
+        p, n_t, r, valid = icp_ops.associate(T, src_shard, tgt, cam, cfg)
+        sys = icp_ops.build_normal_system(p, n_t, r, valid)
+        sys = icp_ops.NormalSystem(
+            JTJ=jax.lax.psum(sys.JTJ, AXIS),
+            JTr=jax.lax.psum(sys.JTr, AXIS),
+            error=jax.lax.psum(sys.error, AXIS),
+            count=jax.lax.psum(sys.count, AXIS),
+        )
+        delta = icp_ops.solve_normal_system(sys, cfg.damping)
+        return se3.exp(delta) @ T, sys, jnp.sum(delta * delta)
+
+    def cond(state):
+        T, it, dnorm, err, cnt = state
+        return (it < cfg.max_iters) & (dnorm > cfg.update_tol**2)
+
+    def body(state):
+        T, it, dnorm, err, cnt = state
+        T_new, sys, d2 = gn(T)
+        mse = sys.error / jnp.maximum(sys.count, 1.0)
+        return (T_new, it + 1, d2, mse, sys.count)
+
+    init = (
+        se3.identity(),
+        jnp.int32(0),
+        jnp.float32(jnp.inf),
+        jnp.float32(jnp.inf),
+        jnp.float32(0.0),
+    )
+    T, iters, _, err, count = jax.lax.while_loop(cond, body, init)
+    return icp_ops.ICPResult(
+        transform=T, error=err, count=count, iters=iters
+    )
+
+
+def _raycast_model_sharded(
+    hmap: HashMap, lcfg: HashConfig, T_wc, config: PipelineConfig, n: int
+):
+    """All-gather the visible halo, build the view-local cache, raycast my
+    image rows, gather the full model maps."""
+    cam = config.camera
+    active = hash_ops.compact_visible(hmap, lcfg, T_wc, cam, config.fusion)
+
+    safe_ptr = jnp.clip(active.ptrs, 0, hmap.tsdf.shape[0] - 1)
+    rows_sdf = hmap.tsdf[safe_ptr]
+    rows_w = hmap.weight[safe_ptr]
+    row_valid = active.ptrs != FREE_PTR
+
+    # halo exchange: every device's visible shard -> all devices
+    blocks_all = jax.lax.all_gather(active.blocks, AXIS).reshape(-1, 3)
+    sdf_all = jax.lax.all_gather(rows_sdf, AXIS).reshape(
+        -1, lcfg.voxels_per_block
+    )
+    w_all = jax.lax.all_gather(rows_w, AXIS).reshape(
+        -1, lcfg.voxels_per_block
+    )
+    valid_all = jax.lax.all_gather(row_valid, AXIS).reshape(-1)
+
+    cache = hash_raycast.densify_rows(
+        blocks_all, sdf_all, w_all, valid_all, lcfg, config.fusion, T_wc,
+        config.raycast.cache_dims,
+    )
+
+    # raycast my rows
+    from ..geometry import camera as cam_geom
+
+    i = jax.lax.axis_index(AXIS)
+    h = cam.height // n
+    rays = jax.lax.dynamic_slice_in_dim(
+        cam_geom.pixel_rays(cam), i * h, h, axis=0
+    )
+    out = rc_ops.raycast_rays(cache, T_wc, rays, config.raycast)
+
+    # the model stays row-sharded; consumers (next frame's ICP) gather it
+    model = Frame(
+        vertices=out.points, normals=out.normals, depth=out.depth
+    )
+    return model, active
+
+
+def make_sharded_step(config: PipelineConfig, mesh: Mesh):
+    """Build the jitted multi-chip frame step for this mesh."""
+    n = mesh.devices.size
+    lcfg = local_hash_config(config.hash, n)
+    cam = config.camera
+    assert cam.height % n == 0, "image height must divide by mesh size"
+    bucket_fn = _local_bucket_fn(config.hash, n)
+
+    def _local_step(state: HashSLAMState, depth_raw: jnp.ndarray):
+        my = jax.lax.axis_index(AXIS)
+        frame = pre_ops.preprocess(depth_raw, cam)
+
+        # --- track: row-sharded ICP, psum-ed normal equations ------------
+        model_valid = (
+            jax.lax.psum(jnp.sum(state.model.depth > 0), AXIS) > 100
+        )
+        result = _icp_sharded(frame, state.model, cam, config.icp, n)
+        ok = model_valid & (result.count > 100) & jnp.all(
+            jnp.isfinite(result.transform)
+        )
+        T_rel = jnp.where(ok, result.transform, se3.identity())
+        pose_new = state.pose @ T_rel
+
+        # --- allocate: route candidates to their owner -------------------
+        cand = hash_ops.frame_candidate_keys(
+            frame, pose_new, cam, lcfg, config.fusion
+        )
+        cand_blocks = coords.unpack_block_key(cand, lcfg.key_bits)
+        mine = (
+            _owner(cand_blocks, config.hash, n) == my
+        ) & (cand != hash_ops.EMPTY_KEY)
+        cand = jnp.where(mine, cand, hash_ops.EMPTY_KEY)
+        hmap, n_alloc = hash_ops.insert_blocks(
+            state.hmap, lcfg, cand, bucket_fn
+        )
+
+        # --- fuse: fully local (each block has one owner) ----------------
+        active = hash_ops.compact_visible(
+            hmap, lcfg, pose_new, cam, config.fusion
+        )
+        hmap = hash_ops.integrate(
+            hmap, active, lcfg, frame.depth, pose_new, cam, config.fusion
+        )
+
+        # --- GC: local ----------------------------------------------------
+        if config.gc.enabled:
+            do_gc = (state.frame_idx % config.gc.interval) == (
+                config.gc.interval - 1
+            )
+            hmap, n_freed = jax.lax.cond(
+                do_gc,
+                lambda m: hash_ops.garbage_collect(
+                    m, lcfg, config.gc.min_weight,
+                    config.gc.max_blocks_per_gc,
+                ),
+                lambda m: (
+                    m,
+                    jax.lax.pcast(jnp.int32(0), (AXIS,), to="varying"),
+                ),
+                hmap,
+            )
+        else:
+            n_freed = jnp.int32(0)
+
+        # --- raycast: halo all_gather + row-sharded march ----------------
+        model, _ = _raycast_model_sharded(hmap, lcfg, pose_new, config, n)
+
+        new_state = HashSLAMState(
+            hmap=hmap,
+            pose=pose_new,
+            model=model,
+            frame_idx=state.frame_idx + 1,
+        )
+        info = StepInfo(
+            pose=pose_new,
+            icp_error=result.error,
+            icp_count=result.count,
+            icp_iters=result.iters,
+            tracked=ok,
+            blocks_allocated=jax.lax.psum(n_alloc, AXIS),
+            blocks_active=jax.lax.psum(active.count, AXIS),
+            blocks_freed=jax.lax.psum(n_freed, AXIS),
+            free_blocks=jax.lax.psum(hmap.free_top[0], AXIS),
+        )
+        return new_state, info
+
+    info_spec = StepInfo(
+        pose=P(), icp_error=P(), icp_count=P(), icp_iters=P(), tracked=P(),
+        blocks_allocated=P(), blocks_active=P(), blocks_freed=P(),
+        free_blocks=P(),
+    )
+    sharded = jax.shard_map(
+        _local_step,
+        mesh=mesh,
+        in_specs=(_state_spec(), P()),
+        out_specs=(_state_spec(), info_spec),
+    )
+    return jax.jit(sharded)
+
+
+class ShardedHashSLAM:
+    """Host-side wrapper: multi-chip voxel-hash SLAM over a device mesh."""
+
+    def __init__(self, config: PipelineConfig, mesh: Mesh):
+        self.config = config
+        self.mesh = mesh
+        self.state = create_sharded(config, mesh)
+        self._step = make_sharded_step(config, mesh)
+        self.trajectory = []
+        self.infos = []
+
+    def process(self, depth_raw) -> StepInfo:
+        self.state, info = self._step(self.state, jnp.asarray(depth_raw))
+        self.trajectory.append(info.pose)
+        self.infos.append(info)
+        return info
