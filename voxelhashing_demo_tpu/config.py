@@ -66,7 +66,7 @@ class ICPConfig:
     dist_thresh: float = 0.08     # meters, point-to-plane residual gate
     normal_thresh: float = 0.6    # min cos(angle) between normals
     damping: float = 1e-6         # Levenberg damping added to JTJ diagonal
-    update_tol: float = 1e-7      # |delta xi| convergence threshold
+    update_tol: float = 1e-5      # |delta xi| convergence threshold
     pyramid: Tuple[int, ...] = (1,)  # downsample factors, coarse-to-fine
     pyramid_iters: Tuple[int, ...] = (20,)
 
@@ -149,6 +149,12 @@ class RaycastConfig:
     # view-local dense cache the hash raycaster scatters visible blocks
     # into (hash_raycast.densify_active); voxels per axis
     cache_dims: Tuple[int, int, int] = (256, 256, 256)
+    # frame-to-model surface prediction mode: "splat" (fast, ops/splat.py)
+    # or "march" (sphere tracing through the dense cache, ops/raycast.py)
+    mode: str = "splat"
+    splat_band: float = 1.0        # |sdf| < band * voxel_size voxels splat
+    splat_fill_rounds: int = 2     # 3x3 valid-min hole-fill passes
+    splat_smooth_sigma: float = 3.0  # depth-edge gate, in voxels
 
 
 @dataclasses.dataclass(frozen=True)
@@ -168,13 +174,21 @@ class GCConfig:
 @dataclasses.dataclass(frozen=True)
 class KeyframeConfig:
     """Keyframe pose graph + bundle adjustment (north star; no reference
-    counterpart)."""
+    counterpart — the reference drifts unboundedly, SURVEY.md §5)."""
 
     max_keyframes: int = 64
-    min_rotation_deg: float = 10.0
-    min_translation: float = 0.15
+    max_edges: int = 256
+    min_rotation_deg: float = 10.0   # new keyframe if rotation exceeds this
+    min_translation: float = 0.15    # ... or translation (meters) this
     ba_iters: int = 5
     ba_damping: float = 1e-4
+    icp_downsample: int = 2          # keyframe-pair ICP runs at this factor
+    loop_radius: float = 0.8         # meters: candidate loop-closure search
+    min_loop_separation: int = 3     # keyframes between loop-closure pairs
+    min_loop_inliers: int = 500      # at the downsampled resolution
+    max_loop_error: float = 1e-4     # mean sq point-to-plane residual gate
+    loop_weight: float = 1.0
+    odometry_weight: float = 1.0
 
 
 @dataclasses.dataclass(frozen=True)

@@ -38,13 +38,25 @@ def vee(M: jnp.ndarray) -> jnp.ndarray:
 
 
 def _sinc_factors(theta2: jnp.ndarray):
-    """Return (A, B, C) = (sin t/t, (1-cos t)/t^2, (t - sin t)/t^3) with
-    4th-order Taylor fallbacks, branch-free."""
+    """Return (A, B, C) = (sin t/t, (1-cos t)/t^2, (t - sin t)/t^3),
+    float32-stable and branch-free.
+
+    B uses the half-angle identity 0.5*(sin(t/2)/(t/2))^2 — the naive
+    (1-cos t)/t^2 cancels catastrophically in f32 below t ~ 1e-3 (cos
+    rounds to 1.0f).  A wide Taylor window (t < 0.1) covers C, whose
+    exact form cancels the same way.
+    """
     theta = jnp.sqrt(theta2 + _EPS * _EPS)
-    small = theta2 < 1e-8
-    A = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / theta)
-    B = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / theta2)
-    C = jnp.where(small, 1.0 / 6.0 - theta2 / 120.0, (1.0 - A) / theta2)
+    small = theta2 < 1e-2
+    A = jnp.where(small,
+                  1.0 - theta2 / 6.0 + theta2 * theta2 / 120.0,
+                  jnp.sin(theta) / theta)
+    half = 0.5 * theta
+    s_half = jnp.sin(half) / half
+    B = 0.5 * s_half * s_half
+    C = jnp.where(small,
+                  1.0 / 6.0 - theta2 / 120.0 + theta2 * theta2 / 5040.0,
+                  (1.0 - A) / theta2)
     return A, B, C
 
 
@@ -75,30 +87,33 @@ def log(T: jnp.ndarray) -> jnp.ndarray:
     """SE(3) logarithm: (..., 4, 4) -> twist [v, w] (..., 6).
 
     Closed form replacing reference SE3.cpp:14-19's generic ``.log()``.
+    The rotation angle comes from ``atan2(|vee(R - R^T)|/2, (tr-1)/2)``
+    rather than arccos: arccos has an infinite derivative at the identity,
+    which poisons ``jacfwd`` through pose-graph residuals (ops/pose_graph.py)
+    with NaNs; this form is exact and differentiable there (theta within pi
+    of zero; rotations at exactly pi remain out of scope for graph edges).
     """
     R = T[..., :3, :3]
     t = T[..., :3, 3]
-    tr = jnp.trace(R, axis1=-2, axis2=-1)
-    cos_theta = jnp.clip((tr - 1.0) * 0.5, -1.0, 1.0)
-    theta = jnp.arccos(cos_theta)
+    w_sin = vee(0.5 * (R - jnp.swapaxes(R, -1, -2)))   # sin(theta) * axis
+    s2 = jnp.sum(w_sin * w_sin, axis=-1)
+    c = jnp.clip(
+        (jnp.trace(R, axis1=-2, axis2=-1) - 1.0) * 0.5, -1.0, 1.0
+    )
+    s = jnp.sqrt(s2 + 1e-24)
+    theta = jnp.arctan2(s, c)
     theta2 = (theta * theta)[..., None, None]
-    # w = theta / (2 sin theta) * vee(R - R^T); Taylor for small theta
-    sin_theta = jnp.sin(theta)
-    factor = jnp.where(
-        theta < 1e-4,
-        0.5 + theta * theta / 12.0,
-        theta / (2.0 * jnp.maximum(sin_theta, _EPS)),
-    )[..., None, None]
-    W = factor * (R - jnp.swapaxes(R, -1, -2))
-    w = vee(W)
+    # w = theta / sin(theta) * w_sin; the ratio -> 1 smoothly at theta = 0
+    w = (theta / s)[..., None] * w_sin
     K = hat(w)
     K2 = K @ K
     I = jnp.eye(3, dtype=T.dtype)
     A, B, _ = _sinc_factors(theta2)
-    # V^{-1} = I - K/2 + (1/theta^2)(1 - A/(2B)) K^2
+    # V^{-1} = I - K/2 + (1/theta^2)(1 - A/(2B)) K^2; the exact form
+    # cancels in f32 below theta ~ 0.1, so a wide Taylor window applies
     coef = jnp.where(
-        theta2 < 1e-8,
-        1.0 / 12.0 + theta2 / 720.0,
+        theta2 < 1e-2,
+        1.0 / 12.0 + theta2 / 720.0 + theta2 * theta2 / 30240.0,
         (1.0 - A / (2.0 * B)) / jnp.maximum(theta2, _EPS),
     )
     V_inv = I - 0.5 * K + coef * K2

@@ -26,6 +26,7 @@ from ..ops import hash_raycast
 from ..ops import icp as icp_ops
 from ..ops import preprocess as pre_ops
 from ..ops import raycast as rc_ops
+from ..ops import splat as splat_ops
 
 
 class HashSLAMState(NamedTuple):
@@ -76,7 +77,12 @@ def step(
 
     # --- track (frame-to-model) -------------------------------------------
     model_valid = jnp.sum(state.model.depth > 0) > 100
-    result = icp_ops.icp_align(frame, state.model, cam, config.icp)
+    if len(config.icp.pyramid) > 1:
+        result = icp_ops.icp_align_pyramid(
+            frame.depth, state.model.depth, cam, config.icp
+        )
+    else:
+        result = icp_ops.icp_align(frame, state.model, cam, config.icp)
     ok = model_valid & (result.count > 100) & jnp.all(
         jnp.isfinite(result.transform)
     )
@@ -105,17 +111,22 @@ def step(
     else:
         n_freed = jnp.int32(0)
 
-    # --- raycast model for the next frame ---------------------------------
-    rc = hash_raycast.raycast_hash(
-        hmap,
-        active,
-        hcfg,
-        pose_new,
-        cam,
-        config.raycast,
-        config.fusion,
-        cache_dims=config.raycast.cache_dims,
-    )
+    # --- surface prediction for the next frame's tracking ------------------
+    if config.raycast.mode == "splat":
+        rc = splat_ops.splat_raycast(
+            hmap, active, hcfg, pose_new, cam, config.raycast, config.fusion
+        )
+    else:
+        rc = hash_raycast.raycast_hash(
+            hmap,
+            active,
+            hcfg,
+            pose_new,
+            cam,
+            config.raycast,
+            config.fusion,
+            cache_dims=config.raycast.cache_dims,
+        )
     model = rc_ops.model_frame(rc)
 
     new_state = HashSLAMState(

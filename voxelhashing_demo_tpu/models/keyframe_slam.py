@@ -1,0 +1,196 @@
+"""Keyframe SLAM: voxel-hash frame-to-model tracking + pose graph BA.
+
+The reference tracks frame-to-frame with no global backend of any kind —
+its drift is unbounded and loop closure is impossible (SURVEY.md §5; the
+whole tracking stack is CameraTracking.cpp:26-69).  This model composes the
+flagship HashSLAM pipeline with the missing backend:
+
+- **Keyframe selection** by relative-motion thresholds.
+- **Odometry edges** between consecutive keyframes, refined by an ICP run
+  on the stored (downsampled) keyframe depth pairs.
+- **Loop-closure edges**: older keyframes within ``loop_radius`` are
+  re-registered by ICP (initialized from the current estimates) and, if the
+  registration passes inlier/error gates, constrain the graph.
+- **Pose graph optimization** (ops/pose_graph.py) whenever a loop edge is
+  accepted; the correction is propagated to the live tracking pose, and
+  every non-keyframe pose is stored *relative to its keyframe* so the whole
+  trajectory is corrected retroactively.
+
+Host/device split: per-frame tracking+fusion and the BA solve are each one
+jitted computation; the host only orchestrates keyframe bookkeeping
+(variable-length lists are host state — their shapes change, so they do not
+belong inside jit).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import PipelineConfig
+from ..geometry import se3
+from ..ops import icp as icp_ops
+from ..ops import pose_graph
+from ..ops import preprocess as pre_ops
+from . import hash_slam
+
+
+@dataclass
+class _KeyframeRecord:
+    index: int                 # keyframe id == pose index in the graph
+    frame_index: int           # global frame number
+    frame: pre_ops.Frame       # downsampled preprocessed frame (for ICP)
+
+
+class KeyframeSLAM:
+    """Host-side orchestrator around the jitted pipeline + BA."""
+
+    def __init__(self, config: PipelineConfig):
+        self.config = config
+        self.kcfg = config.keyframes
+        self.state = hash_slam.create(config)
+        self.graph = pose_graph.create(
+            self.kcfg.max_keyframes, self.kcfg.max_edges
+        )
+        self.keyframes: List[_KeyframeRecord] = []
+        # per-frame: (keyframe id, relative pose in that keyframe's frame)
+        self._frame_refs: List[tuple] = []
+        self.infos = []
+        self.ba_events = []
+        self._lcam = config.camera.scaled(self.kcfg.icp_downsample)
+        self._frame_idx = 0
+
+    # -- keyframe helpers ---------------------------------------------------
+
+    def _downsample(self, frame: pre_ops.Frame) -> pre_ops.Frame:
+        f = self.kcfg.icp_downsample
+        if f == 1:
+            return frame
+        d = pre_ops.downsample_depth(frame.depth, f)
+        return pre_ops.preprocess_metric(d, self._lcam)
+
+    def _kf_pose(self, k: int) -> jnp.ndarray:
+        return self.graph.poses[k]
+
+    def _pair_icp(self, src: pre_ops.Frame, tgt: pre_ops.Frame, init_T):
+        """ICP between two stored keyframe frames: returns T mapping src
+        camera coords to tgt camera coords (= T_tgt^-1 @ T_src)."""
+        return icp_ops.icp_align(
+            src, tgt, self._lcam, self.config.icp, init_T=init_T
+        )
+
+    def _should_insert(self, pose) -> bool:
+        if not self.keyframes:
+            return True
+        last = self._kf_pose(self.keyframes[-1].index)
+        rel = se3.inverse(last) @ pose
+        rot = float(np.degrees(float(se3.rotation_angle(rel))))
+        trans = float(jnp.linalg.norm(rel[:3, 3]))
+        return (
+            rot > self.kcfg.min_rotation_deg
+            or trans > self.kcfg.min_translation
+        )
+
+    def _insert_keyframe(self, pose, frame: pre_ops.Frame) -> None:
+        k = len(self.keyframes)
+        if k >= self.kcfg.max_keyframes:
+            return
+        small = self._downsample(frame)
+        self.graph = pose_graph.add_pose(self.graph, pose)
+        rec = _KeyframeRecord(index=k, frame_index=self._frame_idx,
+                              frame=small)
+
+        loop_closed = False
+        if k > 0:
+            prev = self.keyframes[-1]
+            prev_pose = self._kf_pose(prev.index)
+            init = se3.inverse(prev_pose) @ pose
+            res = self._pair_icp(small, prev.frame, init)
+            meas = res.transform if self._edge_ok(res) else init
+            self.graph = pose_graph.add_edge(
+                self.graph, prev.index, k, meas,
+                weight=self.kcfg.odometry_weight,
+            )
+            loop_closed = self._try_loop_closures(k, pose, small)
+
+        self.keyframes.append(rec)
+        if loop_closed:
+            self._optimize()
+
+    def _edge_ok(self, res: icp_ops.ICPResult) -> bool:
+        return (
+            bool(jnp.all(jnp.isfinite(res.transform)))
+            and int(res.count) >= self.kcfg.min_loop_inliers
+            and float(res.error) <= self.kcfg.max_loop_error
+        )
+
+    def _try_loop_closures(self, k: int, pose, small) -> bool:
+        """Register the new keyframe against older, nearby keyframes."""
+        added = False
+        p_new = np.asarray(pose[:3, 3])
+        for rec in self.keyframes[: max(0, k - self.kcfg.min_loop_separation)]:
+            old_pose = self._kf_pose(rec.index)
+            dist = float(np.linalg.norm(np.asarray(old_pose[:3, 3]) - p_new))
+            if dist > self.kcfg.loop_radius:
+                continue
+            init = se3.inverse(old_pose) @ pose
+            res = self._pair_icp(small, rec.frame, init)
+            if self._edge_ok(res):
+                self.graph = pose_graph.add_edge(
+                    self.graph, rec.index, k, res.transform,
+                    weight=self.kcfg.loop_weight,
+                )
+                added = True
+        return added
+
+    def _optimize(self) -> None:
+        """Run BA and propagate the last-keyframe correction to the live
+        tracking pose (the fused map keeps its already-integrated geometry;
+        corrections apply to the trajectory and future integration)."""
+        last_idx = self.keyframes[-1].index
+        old_last = self._kf_pose(last_idx)
+        self.graph, info = pose_graph.optimize(self.graph, self.kcfg)
+        new_last = self._kf_pose(last_idx)
+        correction = new_last @ se3.inverse(old_last)
+        self.state = self.state._replace(
+            pose=correction @ self.state.pose
+        )
+        self.ba_events.append(
+            {
+                "frame": self._frame_idx,
+                "keyframes": last_idx + 1,
+                "edges": int(self.graph.num_edges),
+                "chi2_initial": float(info.chi2_initial),
+                "chi2_final": float(info.chi2_final),
+            }
+        )
+
+    # -- main entry ----------------------------------------------------------
+
+    def process(self, depth_raw) -> hash_slam.StepInfo:
+        self.state, info = hash_slam.step(
+            self.state, jnp.asarray(depth_raw), self.config
+        )
+        frame = pre_ops.preprocess(
+            jnp.asarray(depth_raw), self.config.camera
+        )
+        if self._should_insert(info.pose):
+            self._insert_keyframe(info.pose, frame)
+        kf = self.keyframes[-1]
+        rel = se3.inverse(self._kf_pose(kf.index)) @ self.state.pose
+        self._frame_refs.append((kf.index, np.asarray(rel)))
+        self.infos.append(info)
+        self._frame_idx += 1
+        return info
+
+    def trajectory(self) -> List[np.ndarray]:
+        """Full trajectory with all BA corrections applied retroactively."""
+        poses = np.asarray(self.graph.poses)
+        return [poses[k] @ rel for k, rel in self._frame_refs]
+
+    def keyframe_trajectory(self) -> List[np.ndarray]:
+        poses = np.asarray(self.graph.poses)
+        return [poses[rec.index] for rec in self.keyframes]

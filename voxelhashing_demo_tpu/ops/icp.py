@@ -200,17 +200,23 @@ def icp_align_pyramid(
     (common.h:28-29 unused); this is the real thing.  Levels are static
     Python iteration (each level jit-compiles once).
     """
+    import dataclasses
+
     from .preprocess import downsample_depth, preprocess_metric
 
     T = se3.identity() if init_T is None else init_T
     result = None
     levels = sorted(set(cfg.pyramid), reverse=True)
-    for factor in levels:
+    iters = cfg.pyramid_iters
+    if len(iters) != len(levels):
+        iters = (cfg.max_iters,) * len(levels)
+    for factor, max_it in zip(levels, iters):
         lcam = cam.scaled(factor) if factor > 1 else cam
+        lcfg = dataclasses.replace(cfg, max_iters=max_it)
         d_s = downsample_depth(depth_src_m, factor) if factor > 1 else depth_src_m
         d_t = downsample_depth(depth_tgt_m, factor) if factor > 1 else depth_tgt_m
         src = preprocess_metric(d_s, lcam)
         tgt = preprocess_metric(d_t, lcam)
-        result = icp_align(src, tgt, lcam, cfg, init_T=T)
+        result = icp_align(src, tgt, lcam, lcfg, init_T=T)
         T = result.transform
     return result

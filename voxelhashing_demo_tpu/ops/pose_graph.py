@@ -1,0 +1,175 @@
+"""Keyframe pose graph optimization (bundle adjustment over poses), on-device.
+
+The reference has nothing like this: its tracking is pure frame-to-frame ICP
+with unbounded drift — no keyframes, no loop closure, no global optimization
+(SURVEY.md §5 "long-context" row; reference CameraTracking.cpp:26-69 is the
+whole tracking stack).  This module is the north-star component that bounds
+drift over long sequences (BASELINE.json config 3).
+
+Design (TPU-first):
+- The graph is a static-shape pytree: padded pose array [K, 4, 4] and padded
+  edge arrays (indices, SE3 measurements, scalar weights).  Padding edges are
+  (0, 0, identity, weight 0) so their residuals are exactly zero.
+- Residual per edge (i, j):  r = log( Z_ij^-1 · T_i^-1 · T_j )  in se(3).
+- Gauss-Newton with a *local* right-perturbation parameterization
+  T_i <- T_i · exp(xi_i); the full (E·6) x (K·6) Jacobian comes from
+  ``jax.jacfwd`` over the twist increments — exact, branch-free, and small
+  (K <= 64 keyframes -> a 384x384 normal system, one MXU-sized Cholesky).
+- Gauge freedom is fixed by an anchor prior on pose 0; Levenberg damping
+  makes unconstrained (padded) poses a no-op instead of a singularity.
+- The whole optimization (build J -> H -> solve -> retract, iterated) runs
+  inside one jit; the multi-chip path shards edges and psums H/b
+  (parallel/sharded.py).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import KeyframeConfig
+from ..geometry import se3
+
+
+class PoseGraph(NamedTuple):
+    """Padded, static-shape pose graph (a pytree)."""
+
+    poses: jnp.ndarray      # [K, 4, 4] camera-to-world keyframe poses
+    num_poses: jnp.ndarray  # () int32; rows >= num_poses are identity pads
+    edges_ij: jnp.ndarray   # [E, 2] int32 (i, j) pose indices; pads (0, 0)
+    edges_T: jnp.ndarray    # [E, 4, 4] measured T_i^-1 @ T_j; pads identity
+    edges_w: jnp.ndarray    # [E] float32 information weight; pads 0
+    num_edges: jnp.ndarray  # () int32
+
+
+class BAInfo(NamedTuple):
+    chi2_initial: jnp.ndarray
+    chi2_final: jnp.ndarray
+    iters: jnp.ndarray
+
+
+def create(max_keyframes: int, max_edges: int) -> PoseGraph:
+    I = jnp.eye(4, dtype=jnp.float32)
+    return PoseGraph(
+        poses=jnp.broadcast_to(I, (max_keyframes, 4, 4)),
+        num_poses=jnp.int32(0),
+        edges_ij=jnp.zeros((max_edges, 2), dtype=jnp.int32),
+        edges_T=jnp.broadcast_to(I, (max_edges, 4, 4)),
+        edges_w=jnp.zeros((max_edges,), dtype=jnp.float32),
+        num_edges=jnp.int32(0),
+    )
+
+
+def add_pose(graph: PoseGraph, T: jnp.ndarray) -> PoseGraph:
+    """Append a keyframe pose (no-op if at capacity)."""
+    k = graph.num_poses
+    K = graph.poses.shape[0]
+    idx = jnp.where(k < K, k, K)
+    return graph._replace(
+        poses=graph.poses.at[idx].set(T, mode="drop"),
+        num_poses=jnp.minimum(k + 1, K),
+    )
+
+
+def add_edge(
+    graph: PoseGraph,
+    i: jnp.ndarray,
+    j: jnp.ndarray,
+    T_ij: jnp.ndarray,
+    weight: jnp.ndarray | float = 1.0,
+) -> PoseGraph:
+    """Append a relative-pose constraint (no-op if at capacity)."""
+    e = graph.num_edges
+    E = graph.edges_ij.shape[0]
+    idx = jnp.where(e < E, e, E)
+    return graph._replace(
+        edges_ij=graph.edges_ij.at[idx].set(
+            jnp.stack([jnp.int32(i), jnp.int32(j)]), mode="drop"
+        ),
+        edges_T=graph.edges_T.at[idx].set(T_ij, mode="drop"),
+        edges_w=graph.edges_w.at[idx].set(
+            jnp.float32(weight), mode="drop"
+        ),
+        num_edges=jnp.minimum(e + 1, E),
+    )
+
+
+def edge_residuals(
+    poses: jnp.ndarray, edges_ij: jnp.ndarray, edges_T: jnp.ndarray
+) -> jnp.ndarray:
+    """se(3) residuals r_e = log(Z_e^-1 · T_i^-1 · T_j)  ->  (E, 6)."""
+    Ti = poses[edges_ij[:, 0]]
+    Tj = poses[edges_ij[:, 1]]
+    pred = se3.inverse(Ti) @ Tj
+    return se3.log(se3.inverse(edges_T) @ pred)
+
+
+def _chi2(graph: PoseGraph) -> jnp.ndarray:
+    r = edge_residuals(graph.poses, graph.edges_ij, graph.edges_T)
+    return jnp.sum(graph.edges_w * jnp.sum(r * r, axis=-1))
+
+
+def build_normal_equations(
+    graph: PoseGraph,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """(H, b, chi2) of the weighted GN system about the current poses.
+
+    H is (6K, 6K), b is (6K,).  Exposed separately so the sharded path can
+    build partial systems per device and ``psum`` them (the distributed-BA
+    reduction of SURVEY.md §2b's last row).
+    """
+    K = graph.poses.shape[0]
+
+    def residual_of_twists(xis):
+        P = jax.vmap(lambda T, xi: T @ se3.exp(xi))(graph.poses, xis)
+        return edge_residuals(P, graph.edges_ij, graph.edges_T)
+
+    zeros = jnp.zeros((K, 6), dtype=jnp.float32)
+    r = residual_of_twists(zeros)                        # (E, 6)
+    J = jax.jacfwd(residual_of_twists)(zeros)            # (E, 6, K, 6)
+    E = r.shape[0]
+    Jf = J.reshape(E * 6, K * 6)
+    w = jnp.repeat(graph.edges_w, 6)
+    Hn = (Jf * w[:, None]).T @ Jf                         # (6K, 6K) on MXU
+    bn = (Jf * w[:, None]).T @ r.reshape(-1)
+    chi2 = jnp.sum(w * r.reshape(-1) ** 2)
+    return Hn, bn, chi2
+
+
+def apply_update(
+    graph: PoseGraph, H: jnp.ndarray, b: jnp.ndarray, cfg: KeyframeConfig
+) -> PoseGraph:
+    """Solve the damped, anchored system and retract onto the poses."""
+    K = graph.poses.shape[0]
+    anchor = jnp.zeros((K * 6,), dtype=jnp.float32).at[:6].set(1e6)
+    A = H + jnp.diag(anchor) + cfg.ba_damping * jnp.eye(
+        K * 6, dtype=jnp.float32
+    )
+    L, low = jax.scipy.linalg.cho_factor(A, lower=True)
+    delta = jax.scipy.linalg.cho_solve((L, low), -b).reshape(K, 6)
+    delta = jnp.where(jnp.all(jnp.isfinite(delta)), delta, 0.0)
+    poses = jax.vmap(lambda T, xi: T @ se3.exp(xi))(graph.poses, delta)
+    return graph._replace(poses=poses)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def optimize(graph: PoseGraph, cfg: KeyframeConfig):
+    """Gauss-Newton pose graph optimization, entirely on-device.
+
+    Returns (optimized graph, BAInfo).
+    """
+    chi2_0 = _chi2(graph)
+
+    def body(_, g):
+        H, b, _ = build_normal_equations(g)
+        return apply_update(g, H, b, cfg)
+
+    graph = jax.lax.fori_loop(0, cfg.ba_iters, body, graph)
+    return graph, BAInfo(
+        chi2_initial=chi2_0,
+        chi2_final=_chi2(graph),
+        iters=jnp.int32(cfg.ba_iters),
+    )

@@ -39,6 +39,7 @@ from ..geometry import coords, se3
 from ..ops import hash_ops, hash_raycast, icp as icp_ops
 from ..ops import preprocess as pre_ops
 from ..ops import raycast as rc_ops
+from ..ops import splat as splat_ops
 from ..ops.hash_ops import FREE_PTR, HashMap
 from ..ops.preprocess import Frame
 from ..models.hash_slam import HashSLAMState, StepInfo
@@ -196,8 +197,13 @@ def _icp_sharded(src: Frame, tgt_shard: Frame, cam, cfg, n: int):
 def _raycast_model_sharded(
     hmap: HashMap, lcfg: HashConfig, T_wc, config: PipelineConfig, n: int
 ):
-    """All-gather the visible halo, build the view-local cache, raycast my
-    image rows, gather the full model maps."""
+    """Surface prediction over the sharded map.
+
+    Splat mode (default): each device splats its own visible rows into a
+    full-resolution z-buffer and the buffers merge with one ``pmin``
+    collective — the multi-chip depth test.  March mode: all-gather the
+    visible halo, build the view-local dense cache, sphere-trace my rows.
+    """
     cam = config.camera
     active = hash_ops.compact_visible(hmap, lcfg, T_wc, cam, config.fusion)
 
@@ -205,6 +211,32 @@ def _raycast_model_sharded(
     rows_sdf = hmap.tsdf[safe_ptr]
     rows_w = hmap.weight[safe_ptr]
     row_valid = active.ptrs != FREE_PTR
+
+    i = jax.lax.axis_index(AXIS)
+    h = cam.height // n
+
+    def rows(x):
+        return jax.lax.dynamic_slice_in_dim(x, i * h, h, axis=0)
+
+    if config.raycast.mode == "splat":
+        depth = splat_ops.splat_depth_estimates(
+            active.blocks, rows_sdf, rows_w, row_valid, lcfg, T_wc, cam,
+            config.raycast, config.fusion,
+        )
+        # merge the per-device z-buffers (0 = no estimate -> +inf for min)
+        depth = jax.lax.pmin(
+            jnp.where(depth > 0, depth, jnp.inf), AXIS
+        )
+        depth = jnp.where(jnp.isfinite(depth), depth, 0.0)
+        out = splat_ops.finalize_depth(
+            depth, cam, config.raycast, config.fusion
+        )
+        model = Frame(
+            vertices=rows(out.points),
+            normals=rows(out.normals),
+            depth=rows(out.depth),
+        )
+        return model, active
 
     # halo exchange: every device's visible shard -> all devices
     blocks_all = jax.lax.all_gather(active.blocks, AXIS).reshape(-1, 3)
