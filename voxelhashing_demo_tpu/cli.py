@@ -1,0 +1,318 @@
+"""Command-line entry point — the framework's application layer.
+
+The reference's L5/L6 layers (DepthMain.cpp `main` + Application.cpp) load
+two hard-coded depth PNGs, preprocess, (skip the commented-out Align,
+Application.cpp:75), integrate at identity, dump the SDF, and spin an SDL
+render loop.  This CLI is the completed, scriptable equivalent:
+
+    python -m voxelhashing_demo_tpu demo  t0.png t1.png --out out/
+        two-frame pipeline (DepthMain parity — with Align actually wired)
+    python -m voxelhashing_demo_tpu run   --dataset DIR | --synthetic N
+        full SLAM over a TUM sequence or synthetic scene; trajectory,
+        metrics, checkpoint, renders
+    python -m voxelhashing_demo_tpu render --checkpoint ck.npz --orbit 12
+        offline orbit renders of a saved map (the render-loop equivalent)
+    python -m voxelhashing_demo_tpu info  --checkpoint ck.npz
+        checkpoint summary (map occupancy, trajectory length)
+
+Every command prints one JSON line of structured results at the end.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def _default_config(args) -> "PipelineConfig":
+    from .config import (CameraConfig, GCConfig, HashConfig, ICPConfig,
+                         PipelineConfig)
+
+    cam = CameraConfig()
+    if args.small:
+        cam = CameraConfig(width=160, height=120, fx=129.3, fy=129.1,
+                           cx=79.65, cy=59.8)
+    return PipelineConfig(
+        camera=cam,
+        icp=ICPConfig(pyramid=(4, 2, 1), pyramid_iters=(10, 5, 4)),
+        hash=HashConfig(num_buckets=65536, bucket_size=4, num_blocks=65536,
+                        max_active=4096, max_new_per_frame=4096,
+                        candidate_stride=2),
+        gc=GCConfig(enabled=True, interval=8),
+    )
+
+
+def _emit(result: dict) -> None:
+    print(json.dumps(result))
+
+
+# --------------------------------------------------------------------------
+# demo: two-frame pipeline (reference Application.cpp parity)
+# --------------------------------------------------------------------------
+
+def cmd_demo(args) -> None:
+    import jax.numpy as jnp
+
+    from .geometry import se3
+    from .models import hash_slam
+    from .ops import icp as icp_ops
+    from .ops import preprocess as pre_ops
+    from .utils import checkpoint as ck
+    from .utils import io as depth_io
+    from .utils import synthetic, viz
+
+    config = _default_config(args)
+    cam = config.camera
+    os.makedirs(args.out, exist_ok=True)
+
+    if args.frames:
+        t0 = depth_io.read_depth_png(args.frames[0])
+        t1 = depth_io.read_depth_png(args.frames[1])
+    else:
+        # the reference's assets/T0.png, T1.png are absent from its repo
+        # (Application.cpp:28-29); synthesize an equivalent pair
+        depths, _ = synthetic.make_sequence(cam, 2, trans_amp=0.04,
+                                            rot_amp_deg=2.0)
+        t0, t1 = np.asarray(depths[0]), np.asarray(depths[1])
+
+    f0 = pre_ops.preprocess(jnp.asarray(t0), cam)
+    f1 = pre_ops.preprocess(jnp.asarray(t1), cam)
+
+    # Align — the call the reference ships commented out (Application.cpp:75)
+    res = icp_ops.icp_align(f1, f0, cam, config.icp)
+    T_rel = np.asarray(res.transform)
+
+    slam = hash_slam.HashSLAM(config)
+    slam.process(jnp.asarray(t0))
+    slam.process(jnp.asarray(t1))
+
+    n_blocks = ck.dump_sdf(
+        os.path.join(args.out, "SDF_dump.txt"), slam.state.hmap, config.hash
+    )
+    out = slam.render()
+    viz.write_png_rgb(os.path.join(args.out, "render.png"),
+                      viz.shade_rgb(out))
+    viz.write_png_rgb(os.path.join(args.out, "normals.png"),
+                      viz.normal_rgb(out.normals, out.hit))
+    _emit({
+        "command": "demo",
+        "icp_inliers": int(res.count),
+        "icp_error": float(res.error),
+        "relative_translation_m": [float(x) for x in T_rel[:3, 3]],
+        "occupied_blocks": n_blocks,
+        "outputs": ["SDF_dump.txt", "render.png", "normals.png"],
+    })
+
+
+# --------------------------------------------------------------------------
+# run: full SLAM over a sequence
+# --------------------------------------------------------------------------
+
+def cmd_run(args) -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from .models import hash_slam, keyframe_slam
+    from .utils import checkpoint as ck
+    from .utils import metrics, synthetic, tum, viz
+
+    config = _default_config(args)
+    cam = config.camera
+    os.makedirs(args.out, exist_ok=True)
+
+    if args.dataset:
+        seq = tum.TUMSequence(args.dataset, max_frames=args.max_frames)
+        depths, gt = seq.load_all(cam.width, cam.height)
+        depths = list(depths)
+        gt = gt if seq.has_gt else None
+    else:
+        n = args.synthetic or 30
+        depths, gt = synthetic.make_sequence(cam, n, trans_amp=0.10,
+                                             rot_amp_deg=5.0)
+
+    if args.backend == "keyframe":
+        slam = keyframe_slam.KeyframeSLAM(config)
+    else:
+        slam = hash_slam.HashSLAM(config)
+
+    records = []
+    t0 = time.perf_counter()
+    for i, d in enumerate(depths):
+        info = slam.process(jnp.asarray(np.asarray(d, dtype=np.uint16)))
+        records.append({
+            "frame": i,
+            "tracked": bool(info.tracked),
+            "icp_error": float(info.icp_error),
+            "icp_iters": int(info.icp_iters),
+            "blocks_allocated": int(info.blocks_allocated),
+            "blocks_active": int(info.blocks_active),
+            "blocks_freed": int(info.blocks_freed),
+        })
+    jax.block_until_ready(
+        slam.state.pose if hasattr(slam, "state") else None
+    )
+    dt = time.perf_counter() - t0
+
+    trajectory = (slam.trajectory() if callable(getattr(slam, "trajectory"))
+                  else slam.trajectory)
+    ck.export_trajectory_tum(
+        os.path.join(args.out, "trajectory.txt"), trajectory
+    )
+    with open(os.path.join(args.out, "metrics.jsonl"), "w") as f:
+        for r in records:
+            f.write(json.dumps(r) + "\n")
+
+    inner = slam if isinstance(slam, hash_slam.HashSLAM) else None
+    result = {
+        "command": "run",
+        "frames": len(depths),
+        "fps": round(len(depths) / dt, 2),
+        "tracked_frames": sum(r["tracked"] for r in records),
+    }
+    if gt is not None and all(p is not None for p in gt):
+        result["ate_rmse_m"] = round(
+            metrics.ate_rmse(trajectory, [np.asarray(p) for p in gt]), 5
+        )
+    if args.backend == "keyframe":
+        result["keyframes"] = len(slam.keyframes)
+        result["graph_edges"] = int(slam.graph.num_edges)
+        result["ba_runs"] = len(slam.ba_events)
+        inner_state = slam.state
+        hs = hash_slam.HashSLAM.__new__(hash_slam.HashSLAM)
+        hs.config, hs.state, hs.trajectory, hs.infos = (
+            config, inner_state, list(trajectory), [])
+        inner = hs
+    if args.checkpoint:
+        ck.save_slam(os.path.join(args.out, args.checkpoint), inner,
+                     graph=getattr(slam, "graph", None))
+        result["checkpoint"] = args.checkpoint
+    if args.render_last:
+        out = inner.render()
+        viz.write_png_rgb(os.path.join(args.out, "final.png"),
+                          viz.shade_rgb(out))
+        viz.write_png_rgb(os.path.join(args.out, "final_depth.png"),
+                          viz.depth_rgb(out.depth))
+        result["renders"] = ["final.png", "final_depth.png"]
+    _emit(result)
+
+
+# --------------------------------------------------------------------------
+# render: offline orbit of a checkpointed map
+# --------------------------------------------------------------------------
+
+def cmd_render(args) -> None:
+    import jax.numpy as jnp
+
+    from .utils import checkpoint as ck
+    from .utils import viz
+
+    slam, _ = ck.load_slam(args.checkpoint)
+    os.makedirs(args.out, exist_ok=True)
+
+    if args.orbit > 1:
+        pose0 = np.asarray(slam.state.pose)
+        center = pose0[:3, 3] + pose0[:3, 2] * args.orbit_distance
+        poses = viz.orbit_poses(center, args.orbit_distance,
+                                height=-0.2, n_frames=args.orbit,
+                                sweep_deg=args.sweep)
+    else:
+        poses = [np.asarray(slam.state.pose)]
+
+    names = []
+    for i, T in enumerate(poses):
+        out = slam.render(jnp.asarray(T))
+        name = f"orbit_{i:03d}.png"
+        viz.write_png_rgb(os.path.join(args.out, name), viz.shade_rgb(out))
+        names.append(name)
+    _emit({"command": "render", "frames": names})
+
+
+def cmd_info(args) -> None:
+    from .utils import checkpoint as ck
+
+    slam, graph = ck.load_slam(args.checkpoint)
+    hmap = slam.state.hmap
+    occupied = int(np.sum(np.asarray(hmap.ptrs) >= 0))
+    result = {
+        "command": "info",
+        "config": json.loads(ck.config_to_json(slam.config)),
+        "occupied_blocks": occupied,
+        "free_blocks": int(slam.state.hmap.free_top),
+        "frames_processed": int(slam.state.frame_idx),
+        "trajectory_poses": len(slam.trajectory),
+    }
+    if graph is not None:
+        result["graph"] = {
+            "keyframes": int(graph.num_poses),
+            "edges": int(graph.num_edges),
+        }
+    _emit(result)
+
+
+def cmd_bench(args) -> None:
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    import bench
+
+    bench.main()
+
+
+# --------------------------------------------------------------------------
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="voxelhashing_demo_tpu",
+        description="TPU-native dense SLAM engine",
+    )
+    p.add_argument("--small", action="store_true",
+                   help="160x120 config for quick runs")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    d = sub.add_parser("demo", help="two-frame pipeline (reference demo)")
+    d.add_argument("frames", nargs="*", help="two 16-bit depth PNGs")
+    d.add_argument("--out", default="demo_out")
+    d.set_defaults(fn=cmd_demo)
+
+    r = sub.add_parser("run", help="full SLAM over a sequence")
+    r.add_argument("--dataset", help="TUM sequence directory")
+    r.add_argument("--synthetic", type=int, metavar="N",
+                   help="use N synthetic frames instead of a dataset")
+    r.add_argument("--max-frames", type=int, default=None)
+    r.add_argument("--backend", choices=("hash", "keyframe"),
+                   default="hash")
+    r.add_argument("--out", default="run_out")
+    r.add_argument("--checkpoint", default="map.npz",
+                   help="checkpoint filename (empty to skip)")
+    r.add_argument("--render-last", action="store_true")
+    r.set_defaults(fn=cmd_run)
+
+    v = sub.add_parser("render", help="offline renders of a checkpoint")
+    v.add_argument("--checkpoint", required=True)
+    v.add_argument("--out", default="render_out")
+    v.add_argument("--orbit", type=int, default=1)
+    v.add_argument("--orbit-distance", type=float, default=1.5)
+    v.add_argument("--sweep", type=float, default=60.0)
+    v.set_defaults(fn=cmd_render)
+
+    i = sub.add_parser("info", help="checkpoint summary")
+    i.add_argument("--checkpoint", required=True)
+    i.set_defaults(fn=cmd_info)
+
+    b = sub.add_parser("bench", help="run the throughput benchmark")
+    b.set_defaults(fn=cmd_bench)
+    return p
+
+
+def main(argv=None) -> None:
+    args = build_parser().parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

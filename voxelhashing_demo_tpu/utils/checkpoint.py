@@ -1,0 +1,181 @@
+"""Checkpoint / resume: serialize the full SLAM state to a single npz.
+
+The reference has nothing of the kind — its only persistence is a debug
+text dump of the SDF volume (reference: SDFRenderer.cpp:71-110 printSDFdata
+-> SDF_dump.txt).  Proper checkpointing is required here: long sequences,
+restartable multi-host runs (SURVEY.md §5 failure-detection row), and
+offline rendering of finished maps.
+
+Format: one ``.npz`` holding every leaf of the state pytrees plus a JSON
+header with the config (so a checkpoint is self-describing and loadable
+without out-of-band knowledge).  Pure numpy on the host — device arrays are
+pulled once, and restore pushes them back with ``jnp.asarray``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import List, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import PipelineConfig
+from ..models import hash_slam
+from ..ops import hash_ops, pose_graph
+from ..ops import preprocess as pre_ops
+
+FORMAT_VERSION = 1
+
+
+def config_to_json(config: PipelineConfig) -> str:
+    return json.dumps(
+        {
+            f.name: dataclasses.asdict(getattr(config, f.name))
+            for f in dataclasses.fields(config)
+        }
+    )
+
+
+def config_from_json(text: str) -> PipelineConfig:
+    raw = json.loads(text)
+    defaults = PipelineConfig()
+    kwargs = {}
+    for f in dataclasses.fields(PipelineConfig):
+        sub_type = type(getattr(defaults, f.name))
+        sub_kwargs = {
+            k: (tuple(v) if isinstance(v, list) else v)
+            for k, v in raw[f.name].items()
+        }
+        kwargs[f.name] = sub_type(**sub_kwargs)
+    return PipelineConfig(**kwargs)
+
+
+def _flatten(prefix: str, tree) -> dict:
+    out = {}
+    for name, leaf in zip(tree._fields, tree):
+        key = f"{prefix}.{name}"
+        if hasattr(leaf, "_fields"):
+            out.update(_flatten(key, leaf))
+        else:
+            out[key] = np.asarray(leaf)
+    return out
+
+
+def save_slam(
+    path: str,
+    slam: "hash_slam.HashSLAM",
+    graph: Optional[pose_graph.PoseGraph] = None,
+    extra: Optional[dict] = None,
+) -> None:
+    """Checkpoint a HashSLAM (or KeyframeSLAM's inner state + graph)."""
+    arrays = _flatten("state", slam.state)
+    if graph is not None:
+        arrays.update(_flatten("graph", graph))
+    if slam.trajectory:
+        arrays["trajectory"] = np.stack(
+            [np.asarray(p) for p in slam.trajectory]
+        )
+    arrays["config_json"] = np.frombuffer(
+        config_to_json(slam.config).encode(), dtype=np.uint8
+    )
+    arrays["format_version"] = np.int64(FORMAT_VERSION)
+    if extra:
+        for k, v in extra.items():
+            arrays[f"extra.{k}"] = np.asarray(v)
+    np.savez_compressed(path, **arrays)
+
+
+def load_slam(
+    path: str,
+) -> Tuple["hash_slam.HashSLAM", Optional[pose_graph.PoseGraph]]:
+    """Restore a HashSLAM wrapper (and pose graph, if present)."""
+    with np.load(path) as z:
+        version = int(z["format_version"])
+        if version > FORMAT_VERSION:
+            raise ValueError(f"checkpoint format {version} is newer than "
+                             f"supported {FORMAT_VERSION}")
+        config = config_from_json(bytes(z["config_json"]).decode())
+        slam = hash_slam.HashSLAM.__new__(hash_slam.HashSLAM)
+        slam.config = config
+        slam.infos = []
+
+        def leaf(key):
+            return jnp.asarray(z[key])
+
+        hmap = hash_ops.HashMap(
+            **{n: leaf(f"state.hmap.{n}") for n in hash_ops.HashMap._fields}
+        )
+        model = pre_ops.Frame(
+            **{n: leaf(f"state.model.{n}") for n in pre_ops.Frame._fields}
+        )
+        slam.state = hash_slam.HashSLAMState(
+            hmap=hmap,
+            pose=leaf("state.pose"),
+            model=model,
+            frame_idx=leaf("state.frame_idx"),
+        )
+        slam.trajectory = (
+            [jnp.asarray(p) for p in z["trajectory"]]
+            if "trajectory" in z
+            else []
+        )
+        graph = None
+        if "graph.poses" in z:
+            graph = pose_graph.PoseGraph(
+                **{
+                    n: leaf(f"graph.{n}")
+                    for n in pose_graph.PoseGraph._fields
+                }
+            )
+    return slam, graph
+
+
+def export_trajectory_tum(path: str, poses: List, timestamps=None) -> None:
+    """Write a trajectory in TUM format: ``t tx ty tz qx qy qz qw``.
+
+    Interoperates with the standard TUM evaluation tooling; timestamps
+    default to the frame index.
+    """
+    from .tum import matrix_to_quat
+
+    lines = []
+    for i, T in enumerate(poses):
+        T = np.asarray(T)
+        t = timestamps[i] if timestamps is not None else float(i)
+        qx, qy, qz, qw = matrix_to_quat(T[:3, :3])
+        lines.append(
+            f"{t:.6f} {T[0,3]:.6f} {T[1,3]:.6f} {T[2,3]:.6f} "
+            f"{qx:.6f} {qy:.6f} {qz:.6f} {qw:.6f}"
+        )
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+
+def dump_sdf(path: str, hmap: hash_ops.HashMap, cfg) -> int:
+    """Text dump of occupied blocks and their TSDF values — parity with the
+    reference's printSDFdata (SDFRenderer.cpp:71-110 -> SDF_dump.txt).
+    Returns the number of occupied blocks written."""
+    from ..geometry import coords
+
+    keys = np.asarray(hmap.keys)
+    ptrs = np.asarray(hmap.ptrs)
+    occ = np.nonzero(ptrs >= 0)[0]
+    blocks = np.asarray(
+        coords.unpack_block_key(jnp.asarray(keys[occ]), cfg.key_bits)
+    )
+    tsdf = np.asarray(hmap.tsdf)
+    weight = np.asarray(hmap.weight)
+    with open(path, "w") as f:
+        f.write(f"# occupied blocks: {len(occ)}\n")
+        for b, slot in enumerate(occ):
+            p = ptrs[slot]
+            f.write(
+                f"block {tuple(int(x) for x in blocks[b])} ptr {int(p)} "
+                f"maxw {weight[p].max():.3f}\n"
+            )
+            nz = np.nonzero(weight[p] > 0)[0]
+            for v in nz:
+                f.write(f"  {v} {tsdf[p, v]:.5f} {weight[p, v]:.2f}\n")
+    return len(occ)
