@@ -118,3 +118,49 @@ def test_sharded_map_partition_is_disjoint_and_complete(mesh):
             coords.spatial_hash(jnp.asarray(blocks), CFG.hash.num_buckets)
         ) % N_DEV
         assert (owners == dev).all(), f"foreign block on device {dev}"
+
+
+def test_sharded_ba_matches_single_device(mesh):
+    """Edge-sharded psum-ed BA must reproduce the single-device optimize."""
+    from voxelhashing_demo_tpu.config import KeyframeConfig
+    from voxelhashing_demo_tpu.geometry import se3
+    from voxelhashing_demo_tpu.ops import pose_graph
+
+    rng = np.random.RandomState(1)
+    K = 6
+    gt = []
+    for i in range(K):
+        a = 2 * np.pi * i / K
+        xi = np.array([np.cos(a), 0, np.sin(a), 0, a, 0], dtype=np.float32)
+        gt.append(np.asarray(se3.exp(jnp.asarray(xi))))
+
+    graph = pose_graph.create(K, 10)  # 10 edges: not a multiple of 8
+    est = [gt[0]]
+    for i in range(K - 1):
+        z = np.asarray(se3.inverse(jnp.asarray(gt[i])) @ jnp.asarray(gt[i + 1]))
+        noise = np.concatenate(
+            [rng.normal(0, 0.02, 3), rng.normal(0, 0.01, 3)]
+        ).astype(np.float32)
+        est.append(est[-1] @ (z @ np.asarray(se3.exp(jnp.asarray(noise)))))
+    for T in est:
+        graph = pose_graph.add_pose(graph, jnp.asarray(T))
+    for i in range(K - 1):
+        z = np.asarray(se3.inverse(jnp.asarray(gt[i])) @ jnp.asarray(gt[i + 1]))
+        graph = pose_graph.add_edge(graph, i, i + 1, jnp.asarray(z))
+    graph = pose_graph.add_edge(
+        graph, K - 1, 0,
+        jnp.asarray(np.asarray(se3.inverse(jnp.asarray(gt[K - 1]))
+                               @ jnp.asarray(gt[0]))),
+    )
+
+    cfg = KeyframeConfig(ba_iters=6)
+    g_single, info_s = pose_graph.optimize(graph, cfg)
+    g_shard, info_m = sharded.optimize_graph_sharded(graph, cfg, mesh)
+
+    np.testing.assert_allclose(
+        np.asarray(g_shard.poses), np.asarray(g_single.poses), atol=1e-4
+    )
+    np.testing.assert_allclose(
+        float(info_m.chi2_final), float(info_s.chi2_final), atol=1e-6
+    )
+    assert float(info_m.chi2_final) < 0.01 * float(info_m.chi2_initial)

@@ -149,17 +149,28 @@ def step(
     return new_state, info
 
 
+def make_step(config: PipelineConfig):
+    """Jitted step with the state buffers DONATED: the big map arrays
+    (tsdf/weight, 100s of MB at production scale) update in place instead
+    of being copied every frame.  Callers must drop their reference to the
+    passed-in state (the wrappers below reassign it)."""
+    return jax.jit(
+        lambda s, d: step(s, d, config), donate_argnums=0
+    )
+
+
 class HashSLAM:
     """Host-side convenience wrapper accumulating the trajectory."""
 
     def __init__(self, config: PipelineConfig):
         self.config = config
         self.state = create(config)
+        self._step = make_step(config)
         self.trajectory = []
         self.infos = []
 
     def process(self, depth_raw) -> StepInfo:
-        self.state, info = step(self.state, jnp.asarray(depth_raw), self.config)
+        self.state, info = self._step(self.state, jnp.asarray(depth_raw))
         self.trajectory.append(info.pose)
         self.infos.append(info)
         return info

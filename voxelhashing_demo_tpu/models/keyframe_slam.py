@@ -52,6 +52,7 @@ class KeyframeSLAM:
         self.config = config
         self.kcfg = config.keyframes
         self.state = hash_slam.create(config)
+        self._slam_step = hash_slam.make_step(config)
         self.graph = pose_graph.create(
             self.kcfg.max_keyframes, self.kcfg.max_edges
         )
@@ -171,8 +172,8 @@ class KeyframeSLAM:
     # -- main entry ----------------------------------------------------------
 
     def process(self, depth_raw) -> hash_slam.StepInfo:
-        self.state, info = hash_slam.step(
-            self.state, jnp.asarray(depth_raw), self.config
+        self.state, info = self._slam_step(
+            self.state, jnp.asarray(depth_raw)
         )
         frame = pre_ops.preprocess(
             jnp.asarray(depth_raw), self.config.camera

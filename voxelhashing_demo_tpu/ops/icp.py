@@ -77,11 +77,14 @@ def associate(
     n_src = se3.apply_rotation(T, src.normals)
     ij, in_image = cam_geom.project_nearest(p, cam)
 
-    # clamp for the gather; validity handled by mask
+    # clamp for the gather; validity handled by mask.  Vertices and normals
+    # are packed so association costs ONE gather pass, not two (random HBM
+    # gathers are the dominant cost on TPU, ~10 ns/element).
     u = jnp.clip(ij[..., 0], 0, cam.width - 1)
     v = jnp.clip(ij[..., 1], 0, cam.height - 1)
-    p_t = tgt.vertices[v, u]                          # (H, W, 3) gather
-    n_t = tgt.normals[v, u]
+    packed = jnp.concatenate([tgt.vertices, tgt.normals], axis=-1)
+    g = packed[v, u]                                  # (H, W, 6) gather
+    p_t, n_t = g[..., :3], g[..., 3:]
 
     r = jnp.sum((p - p_t) * n_t, axis=-1)             # point-to-plane residual
 

@@ -367,7 +367,83 @@ def make_sharded_step(config: PipelineConfig, mesh: Mesh):
         in_specs=(_state_spec(), P()),
         out_specs=(_state_spec(), info_spec),
     )
-    return jax.jit(sharded)
+    # donate the state: the sharded map updates in place on every device
+    return jax.jit(sharded, donate_argnums=0)
+
+
+def optimize_graph_sharded(graph, kcfg, mesh):
+    """Distributed bundle adjustment: edges sharded over the mesh, normal
+    equations ``psum``-reduced, identical solve replicated on every device.
+
+    The reference has no backend at all (SURVEY.md §5); this is the
+    distributed-BA reduction of the north star (BASELINE.json configs 4-5).
+    Returns (optimized PoseGraph, BAInfo), numerically identical to the
+    single-device ``ops.pose_graph.optimize`` (same H, same solve).
+    """
+    from ..ops import pose_graph
+
+    n = mesh.devices.size
+    E = graph.edges_ij.shape[0]
+    pad = (-E) % n
+    if pad:
+        # padding edges are (0, 0, I, w=0): exactly zero residual/Jacobian
+        I = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (pad, 4, 4))
+        graph = graph._replace(
+            edges_ij=jnp.concatenate(
+                [graph.edges_ij, jnp.zeros((pad, 2), jnp.int32)]
+            ),
+            edges_T=jnp.concatenate([graph.edges_T, I]),
+            edges_w=jnp.concatenate(
+                [graph.edges_w, jnp.zeros((pad,), jnp.float32)]
+            ),
+        )
+
+    def _local(poses, num_poses, eij, eT, ew):
+        def make(p):
+            return pose_graph.PoseGraph(
+                poses=p, num_poses=num_poses, edges_ij=eij, edges_T=eT,
+                edges_w=ew, num_edges=jnp.int32(eij.shape[0]),
+            )
+
+        def chi2(p):
+            return jax.lax.psum(
+                pose_graph._chi2(make(p)), AXIS
+            )
+
+        chi2_0 = chi2(poses)
+
+        def body(_, p):
+            H, b, _ = pose_graph.build_normal_equations(make(p))
+            H = jax.lax.psum(H, AXIS)
+            b = jax.lax.psum(b, AXIS)
+            return pose_graph.apply_update(make(p), H, b, kcfg).poses
+
+        poses = jax.lax.fori_loop(0, kcfg.ba_iters, body, poses)
+        return poses, chi2_0, chi2(poses)
+
+    fn = jax.jit(
+        jax.shard_map(
+            _local,
+            mesh=mesh,
+            in_specs=(P(), P(), P(AXIS), P(AXIS), P(AXIS)),
+            out_specs=(P(), P(), P()),
+        )
+    )
+    poses, c0, c1 = fn(
+        graph.poses, graph.num_poses, graph.edges_ij, graph.edges_T,
+        graph.edges_w,
+    )
+    out = graph._replace(poses=poses)
+    if pad:
+        out = out._replace(
+            edges_ij=out.edges_ij[:E],
+            edges_T=out.edges_T[:E],
+            edges_w=out.edges_w[:E],
+        )
+    info = pose_graph.BAInfo(
+        chi2_initial=c0, chi2_final=c1, iters=jnp.int32(kcfg.ba_iters)
+    )
+    return out, info
 
 
 class ShardedHashSLAM:

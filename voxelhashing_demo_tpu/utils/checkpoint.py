@@ -99,6 +99,7 @@ def load_slam(
         config = config_from_json(bytes(z["config_json"]).decode())
         slam = hash_slam.HashSLAM.__new__(hash_slam.HashSLAM)
         slam.config = config
+        slam._step = hash_slam.make_step(config)
         slam.infos = []
 
         def leaf(key):
