@@ -218,3 +218,54 @@ def test_compact_visible_only_in_frustum():
     assert int(active.count) == 1
     got = np.asarray(active.blocks[0])
     np.testing.assert_array_equal(got, [0, 0, 12])
+
+
+def test_integration_order_independent():
+    """The deterministic fusion pipeline is order-independent: fusing the
+    same frames in a different order yields the same TSDF field.  This is
+    the property the reference's lock-retry hash insert cannot give
+    (VoxelUtils.cu:444-455 drops contended inserts by schedule luck) —
+    SURVEY.md §5 race-detection row."""
+    import numpy as np
+
+    from voxelhashing_demo_tpu.config import (CameraConfig, FusionConfig,
+                                              HashConfig)
+    from voxelhashing_demo_tpu.ops import hash_ops, hash_raycast
+    from voxelhashing_demo_tpu.ops import preprocess as pre
+    from voxelhashing_demo_tpu.utils import synthetic
+
+    cam = CameraConfig(width=80, height=60, fx=64.6, fy=64.5, cx=39.7,
+                       cy=29.8)
+    fus = FusionConfig(voxel_size=0.04, truncation=0.16)
+    hcfg = HashConfig(num_buckets=2048, bucket_size=4, num_blocks=2048,
+                      max_active=1024, max_new_per_frame=1024)
+
+    frames = []
+    for t in (0.0, 0.4, 0.8):
+        T = jnp.asarray(synthetic.orbit_pose(t, 0.05, 3.0))
+        d = synthetic.render_depth(T, cam)
+        frames.append((pre.preprocess_metric(d, cam), T))
+
+    def fuse_in_order(order):
+        hmap = hash_ops.create(hcfg)
+        for i in order:
+            f, T = frames[i]
+            hmap, _, _ = hash_ops.fuse_frame(hmap, f, T, cam, hcfg, fus)
+        return hmap
+
+    m_a = fuse_in_order([0, 1, 2])
+    m_b = fuse_in_order([2, 0, 1])
+
+    rng = np.random.default_rng(1)
+    pts = jnp.asarray(
+        rng.uniform([-0.6, -0.4, 1.0], [0.6, 0.6, 2.4], size=(512, 3)),
+        dtype=jnp.float32,
+    )
+    s_a, w_a = hash_raycast.sample_hash_trilinear(m_a, hcfg, fus, pts)
+    s_b, w_b = hash_raycast.sample_hash_trilinear(m_b, hcfg, fus, pts)
+    known = (np.asarray(w_a) > 0) | (np.asarray(w_b) > 0)
+    assert known.sum() > 50
+    np.testing.assert_allclose(np.asarray(s_a)[known],
+                               np.asarray(s_b)[known], atol=1e-5)
+    np.testing.assert_allclose(np.asarray(w_a)[known],
+                               np.asarray(w_b)[known], atol=1e-4)

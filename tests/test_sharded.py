@@ -164,3 +164,34 @@ def test_sharded_ba_matches_single_device(mesh):
         float(info_m.chi2_final), float(info_s.chi2_final), atol=1e-6
     )
     assert float(info_m.chi2_final) < 0.01 * float(info_m.chi2_initial)
+
+
+def test_sharded_keyframe_slam(mesh):
+    """Keyframe SLAM over the sharded frontend + distributed BA."""
+    import dataclasses
+
+    from voxelhashing_demo_tpu.models import keyframe_slam
+
+    cfg = dataclasses.replace(
+        CFG,
+        keyframes=dataclasses.replace(
+            CFG.keyframes,
+            min_rotation_deg=2.0,
+            min_translation=0.03,
+            icp_downsample=2,
+            min_loop_inliers=100,
+            max_loop_error=5e-4,
+            min_loop_separation=2,
+        ),
+    )
+    depths, gt = synthetic.make_sequence(cfg.camera, 8, trans_amp=0.08,
+                                         rot_amp_deg=4.0)
+    slam = keyframe_slam.KeyframeSLAM(cfg, mesh=mesh)
+    for d in depths:
+        slam.process(d)
+    traj = slam.trajectory()
+    assert len(traj) == 8
+    assert len(slam.keyframes) >= 2
+    assert all(np.all(np.isfinite(T)) for T in traj)
+    ate = metrics.ate_rmse(traj, gt)
+    assert ate < 0.06, f"sharded keyframe ATE {ate}"

@@ -230,7 +230,16 @@ def cmd_render(args) -> None:
         name = f"orbit_{i:03d}.png"
         viz.write_png_rgb(os.path.join(args.out, name), viz.shade_rgb(out))
         names.append(name)
-    _emit({"command": "render", "frames": names})
+    result = {"command": "render", "frames": names}
+    if args.ply:
+        from .utils import pointcloud
+
+        n = pointcloud.export_map_ply(
+            os.path.join(args.out, args.ply), slam.state.hmap,
+            slam.config.hash, slam.config.fusion,
+        )
+        result["ply"] = {"file": args.ply, "points": n}
+    _emit(result)
 
 
 def cmd_info(args) -> None:
@@ -298,6 +307,8 @@ def build_parser() -> argparse.ArgumentParser:
     v.add_argument("--orbit", type=int, default=1)
     v.add_argument("--orbit-distance", type=float, default=1.5)
     v.add_argument("--sweep", type=float, default=60.0)
+    v.add_argument("--ply", default="",
+                   help="also export the surface point cloud (filename)")
     v.set_defaults(fn=cmd_render)
 
     i = sub.add_parser("info", help="checkpoint summary")

@@ -46,13 +46,24 @@ class _KeyframeRecord:
 
 
 class KeyframeSLAM:
-    """Host-side orchestrator around the jitted pipeline + BA."""
+    """Host-side orchestrator around the jitted pipeline + BA.
 
-    def __init__(self, config: PipelineConfig):
+    Pass a ``jax.sharding.Mesh`` to run the frontend on the sharded
+    multi-chip pipeline (parallel/sharded.py) and the backend through the
+    edge-sharded distributed BA — same keyframe logic either way.
+    """
+
+    def __init__(self, config: PipelineConfig, mesh=None):
         self.config = config
         self.kcfg = config.keyframes
-        self.state = hash_slam.create(config)
-        self._slam_step = hash_slam.make_step(config)
+        self.mesh = mesh
+        if mesh is None:
+            self.state = hash_slam.create(config)
+            self._slam_step = hash_slam.make_step(config)
+        else:
+            from ..parallel import sharded as sharded_mod
+
+            self._sharded = sharded_mod.ShardedHashSLAM(config, mesh)
         self.graph = pose_graph.create(
             self.kcfg.max_keyframes, self.kcfg.max_edges
         )
@@ -63,6 +74,38 @@ class KeyframeSLAM:
         self.ba_events = []
         self._lcam = config.camera.scaled(self.kcfg.icp_downsample)
         self._frame_idx = 0
+
+    # -- backend dispatch (single-chip vs sharded) ----------------------------
+
+    def _run_step(self, depth_raw) -> hash_slam.StepInfo:
+        if self.mesh is None:
+            self.state, info = self._slam_step(self.state, depth_raw)
+            return info
+        return self._sharded.process(depth_raw)
+
+    @property
+    def _pose(self) -> jnp.ndarray:
+        state = self.state if self.mesh is None else self._sharded.state
+        return state.pose
+
+    def _apply_correction(self, correction) -> None:
+        if self.mesh is None:
+            self.state = self.state._replace(
+                pose=correction @ self.state.pose
+            )
+        else:
+            self._sharded.state = self._sharded.state._replace(
+                pose=jnp.asarray(correction @ self._sharded.state.pose)
+            )
+
+    def _run_ba(self):
+        if self.mesh is None:
+            return pose_graph.optimize(self.graph, self.kcfg)
+        from ..parallel import sharded as sharded_mod
+
+        return sharded_mod.optimize_graph_sharded(
+            self.graph, self.kcfg, self.mesh
+        )
 
     # -- keyframe helpers ---------------------------------------------------
 
@@ -153,12 +196,10 @@ class KeyframeSLAM:
         corrections apply to the trajectory and future integration)."""
         last_idx = self.keyframes[-1].index
         old_last = self._kf_pose(last_idx)
-        self.graph, info = pose_graph.optimize(self.graph, self.kcfg)
+        self.graph, info = self._run_ba()
         new_last = self._kf_pose(last_idx)
         correction = new_last @ se3.inverse(old_last)
-        self.state = self.state._replace(
-            pose=correction @ self.state.pose
-        )
+        self._apply_correction(correction)
         self.ba_events.append(
             {
                 "frame": self._frame_idx,
@@ -172,16 +213,14 @@ class KeyframeSLAM:
     # -- main entry ----------------------------------------------------------
 
     def process(self, depth_raw) -> hash_slam.StepInfo:
-        self.state, info = self._slam_step(
-            self.state, jnp.asarray(depth_raw)
-        )
+        info = self._run_step(jnp.asarray(depth_raw))
         frame = pre_ops.preprocess(
             jnp.asarray(depth_raw), self.config.camera
         )
         if self._should_insert(info.pose):
             self._insert_keyframe(info.pose, frame)
         kf = self.keyframes[-1]
-        rel = se3.inverse(self._kf_pose(kf.index)) @ self.state.pose
+        rel = se3.inverse(self._kf_pose(kf.index)) @ self._pose
         self._frame_refs.append((kf.index, np.asarray(rel)))
         self.infos.append(info)
         self._frame_idx += 1
