@@ -116,6 +116,10 @@ class HashConfig:
     max_new_per_frame: int = 4096  # padded allocation capacity per frame
     band_steps: int = 3            # samples along the truncation band per ray
     candidate_stride: int = 1      # pixel subsampling for allocation
+    # fusion processes the active set in chunks of this many blocks inside
+    # a dynamic-trip-count loop: cost scales with real occupancy, not with
+    # the max_active padding
+    integrate_chunk: int = 1024
     # packing bounds for block coords -> int32 key (10 bits per axis, biased)
     key_bits: int = 10
 

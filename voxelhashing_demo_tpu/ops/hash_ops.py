@@ -365,41 +365,35 @@ def _local_offsets(block_size: int) -> jnp.ndarray:
     )
 
 
-def integrate(
+def _integrate_rows(
     hmap: HashMap,
-    active: ActiveSet,
+    blocks: jnp.ndarray,    # (C, 3)
+    ptrs: jnp.ndarray,      # (C,)
     cfg: HashConfig,
     depth_m: jnp.ndarray,
-    T_wc: jnp.ndarray,
+    T_cw: jnp.ndarray,
     cam: CameraConfig,
     fusion: FusionConfig,
 ) -> HashMap:
-    """Curless-Levoy fusion over the padded active set.
-
-    One fused computation over [max_active, 512] voxels replaces the
-    reference's dynamic one-CUDA-block-per-visible-block launch
-    (integrateDepthMapKernel, VoxelUtils.cu:789-852) — XLA needs static
-    shapes, padding rows are masked by ptr == -1.
-    """
-    A = active.ptrs.shape[0]
+    """Fuse one chunk of block rows (the reference's
+    integrateDepthMapKernel math, VoxelUtils.cu:789-852)."""
+    C = ptrs.shape[0]
     V = cfg.voxels_per_block
     local = _local_offsets(cfg.block_size)                 # (V, 3)
 
-    vox = (
-        coords.block2voxel(active.blocks, cfg.block_size)[:, None, :] + local
-    )                                                      # (A, V, 3)
+    vox = coords.block2voxel(blocks, cfg.block_size)[:, None, :] + local
     world = coords.voxel2world(vox, fusion.voxel_size)
-    pc = se3.apply(se3.inverse(T_wc), world.reshape(-1, 3)).reshape(A, V, 3)
+    pc = se3.apply(T_cw, world.reshape(-1, 3)).reshape(C, V, 3)
     ij, in_img = cam_geom.project_nearest(pc, cam)
 
     u = jnp.clip(ij[..., 0], 0, cam.width - 1)
     v = jnp.clip(ij[..., 1], 0, cam.height - 1)
-    depth = depth_m[v, u]                                  # (A, V)
+    depth = depth_m[v, u]                                  # (C, V)
 
     z = pc[..., 2]
     sdf = depth - z
     trunc = fusion.truncation + fusion.trunc_scale * depth
-    row_valid = active.ptrs != FREE_PTR
+    row_valid = ptrs != FREE_PTR
     valid = (
         row_valid[:, None]
         & in_img
@@ -411,8 +405,8 @@ def integrate(
 
     w_new = jnp.where(valid, sample_weight(depth, cam, fusion), 0.0)
 
-    safe_ptr = jnp.clip(active.ptrs, 0, hmap.tsdf.shape[0] - 1)
-    old_sdf = hmap.tsdf[safe_ptr]                          # (A, V) row gather
+    safe_ptr = jnp.clip(ptrs, 0, hmap.tsdf.shape[0] - 1)
+    old_sdf = hmap.tsdf[safe_ptr]                          # (C, V) row gather
     old_w = hmap.weight[safe_ptr]
     w_sum = old_w + w_new
     fused = jnp.where(
@@ -422,10 +416,56 @@ def integrate(
     )
     new_w = jnp.where(w_new > 0, jnp.minimum(w_sum, fusion.max_weight), old_w)
 
-    row_idx = jnp.where(row_valid, active.ptrs, hmap.tsdf.shape[0])
+    row_idx = jnp.where(row_valid, ptrs, hmap.tsdf.shape[0])
     tsdf = hmap.tsdf.at[row_idx].set(fused, mode="drop")
     weight = hmap.weight.at[row_idx].set(new_w, mode="drop")
     return hmap._replace(tsdf=tsdf, weight=weight)
+
+
+def integrate(
+    hmap: HashMap,
+    active: ActiveSet,
+    cfg: HashConfig,
+    depth_m: jnp.ndarray,
+    T_wc: jnp.ndarray,
+    cam: CameraConfig,
+    fusion: FusionConfig,
+) -> HashMap:
+    """Curless-Levoy fusion over the padded active set.
+
+    Replaces the reference's dynamic one-CUDA-block-per-visible-block
+    launch (integrateDepthMapKernel, VoxelUtils.cu:844-846: grid size =
+    numOccupiedBlocks).  XLA needs static shapes, so the padded set is
+    processed in fixed-size chunks inside a ``lax.while_loop`` whose trip
+    count is dynamic — only ceil(count/chunk) chunks execute, recovering
+    the reference's occupancy-proportional cost instead of paying for
+    max_active padding every frame.
+    """
+    A = active.ptrs.shape[0]
+    C = min(cfg.integrate_chunk, A)
+    while A % C:  # chunks must tile the padded set exactly (no re-fusing)
+        C //= 2
+    T_cw = se3.inverse(T_wc)
+    if C == A:
+        return _integrate_rows(
+            hmap, active.blocks, active.ptrs, cfg, depth_m, T_cw, cam,
+            fusion,
+        )
+
+    def cond(carry):
+        i, _ = carry
+        return i * C < active.count
+
+    def body(carry):
+        i, m = carry
+        blocks = jax.lax.dynamic_slice(active.blocks, (i * C, 0), (C, 3))
+        ptrs = jax.lax.dynamic_slice(active.ptrs, (i * C,), (C,))
+        m = _integrate_rows(m, blocks, ptrs, cfg, depth_m, T_cw, cam,
+                            fusion)
+        return (i + 1, m)
+
+    _, hmap = jax.lax.while_loop(cond, body, (jnp.int32(0), hmap))
+    return hmap
 
 
 # --------------------------------------------------------------------------
@@ -448,7 +488,10 @@ def garbage_collect(
     T = hmap.keys.shape[0]
     allocated = hmap.ptrs != FREE_PTR
     safe_ptr = jnp.clip(hmap.ptrs, 0, hmap.tsdf.shape[0] - 1)
-    block_w = jnp.max(hmap.weight[safe_ptr], axis=-1)      # (T,)
+    # per-row max first (streaming reduce), then a scalar gather per slot —
+    # gathering whole rows per table slot would read the map many times over
+    row_max_w = jnp.max(hmap.weight, axis=-1)              # (num_blocks,)
+    block_w = row_max_w[safe_ptr]                          # (T,)
     stale = allocated & (block_w < min_weight)
 
     # cap the number freed per call (bounds the free-stack scatter)

@@ -91,14 +91,63 @@ def splat_depth_estimates(
     cam: CameraConfig,
     rc: RaycastConfig,
     fusion: FusionConfig,
+    count: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Scatter per-voxel surface-depth estimates into a (H, W) z-buffer.
 
     Exposed on explicit rows so the multi-chip path can splat each device's
     shard locally and ``pmin`` the depth buffers (parallel/sharded.py).
-    Returns raw splat depth (0 = no estimate).
+    With ``count`` given, rows are processed in fixed-size chunks inside a
+    dynamic-trip-count loop (cost follows real occupancy, not padding —
+    same trick as hash_ops.integrate).  Returns raw splat depth (0 = none).
     """
     A = blocks.shape[0]
+    C = min(cfg.integrate_chunk, A)
+    while A % C:
+        C //= 2
+    if count is not None and C < A:
+        zbuf = jnp.full((cam.height * cam.width + 1,), jnp.inf,
+                        dtype=jnp.float32)
+
+        def cond(carry):
+            i, _ = carry
+            return i * C < count
+
+        def body(carry):
+            i, zb = carry
+            b = jax.lax.dynamic_slice(blocks, (i * C, 0), (C, 3))
+            s = jax.lax.dynamic_slice(sdf_rows, (i * C, 0),
+                                      (C, sdf_rows.shape[1]))
+            w = jax.lax.dynamic_slice(w_rows, (i * C, 0),
+                                      (C, w_rows.shape[1]))
+            v = jax.lax.dynamic_slice(row_valid, (i * C,), (C,))
+            zb = _splat_rows_into(zb, b, s, w, v, cfg, T_wc, cam, rc,
+                                  fusion)
+            return (i + 1, zb)
+
+        _, zbuf = jax.lax.while_loop(cond, body, (jnp.int32(0), zbuf))
+        depth = zbuf[:-1].reshape(cam.height, cam.width)
+        return jnp.where(jnp.isfinite(depth), depth, 0.0)
+
+    zbuf = jnp.full((cam.height * cam.width + 1,), jnp.inf, dtype=jnp.float32)
+    zbuf = _splat_rows_into(zbuf, blocks, sdf_rows, w_rows, row_valid, cfg,
+                            T_wc, cam, rc, fusion)
+    depth = zbuf[:-1].reshape(cam.height, cam.width)
+    return jnp.where(jnp.isfinite(depth), depth, 0.0)
+
+
+def _splat_rows_into(
+    zbuf: jnp.ndarray,        # (H*W + 1,) running min buffer (+inf init)
+    blocks: jnp.ndarray,
+    sdf_rows: jnp.ndarray,
+    w_rows: jnp.ndarray,
+    row_valid: jnp.ndarray,
+    cfg: HashConfig,
+    T_wc: jnp.ndarray,
+    cam: CameraConfig,
+    rc: RaycastConfig,
+    fusion: FusionConfig,
+) -> jnp.ndarray:
     local = _local_offsets(cfg.block_size)                      # (V, 3)
     vox = coords.block2voxel(blocks, cfg.block_size)[:, None, :] + local
     world = coords.voxel2world(vox, fusion.voxel_size)          # (A, V, 3)
@@ -124,12 +173,9 @@ def splat_depth_estimates(
     flat = ij[..., 1] * cam.width + ij[..., 0]
     flat = jnp.where(ok, flat, cam.height * cam.width)          # OOB -> drop
 
-    zbuf = jnp.full((cam.height * cam.width + 1,), jnp.inf, dtype=jnp.float32)
-    zbuf = zbuf.at[flat.reshape(-1)].min(
+    return zbuf.at[flat.reshape(-1)].min(
         jnp.where(ok, z_surf, jnp.inf).reshape(-1), mode="drop"
     )
-    depth = zbuf[:-1].reshape(cam.height, cam.width)
-    return jnp.where(jnp.isfinite(depth), depth, 0.0)
 
 
 def finalize_depth(
@@ -178,5 +224,6 @@ def splat_raycast(
         cam,
         rc,
         fusion,
+        count=active.count,
     )
     return finalize_depth(depth, cam, rc, fusion)

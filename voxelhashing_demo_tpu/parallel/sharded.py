@@ -221,7 +221,7 @@ def _raycast_model_sharded(
     if config.raycast.mode == "splat":
         depth = splat_ops.splat_depth_estimates(
             active.blocks, rows_sdf, rows_w, row_valid, lcfg, T_wc, cam,
-            config.raycast, config.fusion,
+            config.raycast, config.fusion, count=active.count,
         )
         # merge the per-device z-buffers (0 = no estimate -> +inf for min)
         depth = jax.lax.pmin(
