@@ -118,3 +118,38 @@ def test_normal_system_matches_dense_jacobian():
     np.testing.assert_allclose(sys.JTJ, Jw.T @ Jw, rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(sys.JTr, Jw.T @ rw, rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(sys.count, w.sum())
+
+
+def test_huber_downweights_outliers():
+    """With a contaminated target, Huber-weighted ICP recovers the
+    transform better than the unweighted system."""
+    import dataclasses
+
+    from voxelhashing_demo_tpu.utils import synthetic
+
+    rng = np.random.RandomState(3)
+    T_true = se3.exp(jnp.array([0.02, -0.015, 0.01, 0.008, -0.01, 0.006]))
+
+    d_tgt = synthetic.render_depth(jnp.eye(4), CAM)
+    d_src = synthetic.render_depth(T_true, CAM)
+    # contaminate 15% of source depth with gross outliers inside the gate
+    mask = rng.rand(*np.asarray(d_src).shape) < 0.15
+    noise = rng.uniform(-0.06, 0.06, np.asarray(d_src).shape)
+    d_src_bad = jnp.where(
+        jnp.asarray(mask) & (d_src > 0), d_src + jnp.asarray(noise, jnp.float32), d_src
+    )
+
+    src = pre.preprocess_metric(d_src_bad, CAM)
+    tgt = pre.preprocess_metric(d_tgt, CAM)
+
+    def err(cfg):
+        res = icp_ops.icp_align(src, tgt, CAM, cfg)
+        return float(jnp.linalg.norm(se3.log(
+            se3.inverse(res.transform) @ T_true
+        )))
+
+    base = ICPConfig()
+    e_plain = err(base)
+    e_huber = err(dataclasses.replace(base, huber_delta=0.01))
+    assert e_huber < e_plain, (e_huber, e_plain)
+    assert e_huber < 5e-3

@@ -84,3 +84,46 @@ def test_downsample_depth():
     d2 = depth.at[0, 0].set(0.0)
     down2 = pre.downsample_depth(d2, 2)
     np.testing.assert_allclose(down2[0, 0], 2.0)
+
+
+def test_bilateral_filter_denoises_preserves_edges():
+    import numpy as np
+
+    from voxelhashing_demo_tpu.ops.preprocess import bilateral_filter
+
+    rng = np.random.RandomState(0)
+    H, W = 64, 64
+    # step edge: left 1 m, right 2 m, plus sensor noise
+    clean = np.where(np.arange(W)[None, :] < W // 2, 1.0, 2.0) * np.ones((H, W))
+    noisy = clean + rng.normal(0, 0.01, (H, W))
+    noisy[10, 10] = 0.0  # invalid pixel must stay invalid
+    out = np.asarray(bilateral_filter(jnp.asarray(noisy, dtype=jnp.float32)))
+
+    assert out[10, 10] == 0.0
+    # noise reduced away from the edge
+    left = (slice(20, 60), slice(4, 24))  # away from the injected invalid px
+    assert np.std(out[left] - clean[left]) < 0.5 * np.std(
+        noisy[left] - clean[left]
+    )
+    # edge not smeared: columns adjacent to the jump keep their side's depth
+    assert abs(out[32, W // 2 - 2] - 1.0) < 0.02
+    assert abs(out[32, W // 2 + 1] - 2.0) < 0.02
+
+
+def test_frontend_config_enables_bilateral():
+    import dataclasses
+
+    import numpy as np
+
+    from voxelhashing_demo_tpu.config import FrontendConfig
+
+    rng = np.random.RandomState(1)
+    raw = (5000 * (1.5 + rng.normal(0, 0.01, (48, 64)))).astype(np.uint16)
+    f_off = pre.preprocess(jnp.asarray(raw), CAM, FrontendConfig())
+    f_on = pre.preprocess(
+        jnp.asarray(raw), CAM, FrontendConfig(bilateral=True)
+    )
+    # filtered depth is smoother
+    assert float(jnp.std(f_on.depth[4:-4, 4:-4])) < float(
+        jnp.std(f_off.depth[4:-4, 4:-4])
+    )

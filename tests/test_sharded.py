@@ -195,3 +195,25 @@ def test_sharded_keyframe_slam(mesh):
     assert all(np.all(np.isfinite(T)) for T in traj)
     ate = metrics.ate_rmse(traj, gt)
     assert ate < 0.06, f"sharded keyframe ATE {ate}"
+
+
+def test_sharded_chunked_fusion_and_splat(mesh):
+    """Exercise the dynamic-trip-count chunked integrate/splat under
+    shard_map (device-varying trip counts)."""
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        CFG,
+        hash=dataclasses.replace(CFG.hash, integrate_chunk=32),
+        icp=dataclasses.replace(CFG.icp, pyramid=(2, 1),
+                                pyramid_iters=(6, 4)),
+    )
+    depths, gt = synthetic.make_sequence(cfg.camera, 5, trans_amp=0.04,
+                                         rot_amp_deg=2.0)
+    slam = sharded.ShardedHashSLAM(cfg, mesh)
+    for d in depths:
+        info = slam.process(d)
+    assert bool(info.tracked)
+    assert int(info.blocks_active) > 50
+    ate = metrics.ate_rmse(slam.trajectory, gt, align=False)
+    assert ate < 0.02, f"ATE {ate}"

@@ -136,8 +136,18 @@ def cmd_run(args) -> None:
         depths, gt = synthetic.make_sequence(cam, n, trans_amp=0.10,
                                              rot_amp_deg=5.0)
 
+    mesh = None
+    if args.devices > 1:
+        from .parallel import sharded as sharded_mod
+
+        mesh = sharded_mod.make_mesh(args.devices)
+
     if args.backend == "keyframe":
-        slam = keyframe_slam.KeyframeSLAM(config)
+        slam = keyframe_slam.KeyframeSLAM(config, mesh=mesh)
+    elif mesh is not None:
+        from .parallel import sharded as sharded_mod
+
+        slam = sharded_mod.ShardedHashSLAM(config, mesh)
     else:
         slam = hash_slam.HashSLAM(config)
 
@@ -183,16 +193,17 @@ def cmd_run(args) -> None:
         result["keyframes"] = len(slam.keyframes)
         result["graph_edges"] = int(slam.graph.num_edges)
         result["ba_runs"] = len(slam.ba_events)
-        inner_state = slam.state
-        hs = hash_slam.HashSLAM.__new__(hash_slam.HashSLAM)
-        hs.config, hs.state, hs.trajectory, hs.infos = (
-            config, inner_state, list(trajectory), [])
-        inner = hs
-    if args.checkpoint:
+        if mesh is None:
+            hs = hash_slam.HashSLAM.__new__(hash_slam.HashSLAM)
+            hs.config, hs.state, hs.trajectory, hs.infos = (
+                config, slam.state, list(trajectory), [])
+            hs._step = hash_slam.make_step(config)
+            inner = hs
+    if args.checkpoint and inner is not None:
         ck.save_slam(os.path.join(args.out, args.checkpoint), inner,
                      graph=getattr(slam, "graph", None))
         result["checkpoint"] = args.checkpoint
-    if args.render_last:
+    if args.render_last and inner is not None:
         out = inner.render()
         viz.write_png_rgb(os.path.join(args.out, "final.png"),
                           viz.shade_rgb(out))
@@ -295,6 +306,8 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--max-frames", type=int, default=None)
     r.add_argument("--backend", choices=("hash", "keyframe"),
                    default="hash")
+    r.add_argument("--devices", type=int, default=1,
+                   help="shard the map over this many devices (pjit mesh)")
     r.add_argument("--out", default="run_out")
     r.add_argument("--checkpoint", default="map.npz",
                    help="checkpoint filename (empty to skip)")

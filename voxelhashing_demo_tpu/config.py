@@ -51,6 +51,17 @@ class CameraConfig:
 
 
 @dataclasses.dataclass(frozen=True)
+class FrontendConfig:
+    """Depth prefiltering (no reference counterpart — its frontend is
+    back-project + normals only, CameraTrackingUtils.cu:50-113)."""
+
+    bilateral: bool = False
+    bilateral_radius: int = 2
+    bilateral_sigma_space: float = 1.5   # pixels
+    bilateral_sigma_depth: float = 0.03  # meters
+
+
+@dataclasses.dataclass(frozen=True)
 class ICPConfig:
     """Point-to-plane ICP solved by Gauss-Newton.
 
@@ -66,6 +77,7 @@ class ICPConfig:
     dist_thresh: float = 0.08     # meters, point-to-plane residual gate
     normal_thresh: float = 0.6    # min cos(angle) between normals
     damping: float = 1e-6         # Levenberg damping added to JTJ diagonal
+    huber_delta: float = 0.0      # IRLS Huber kernel width (m); 0 = off
     update_tol: float = 1e-5      # |delta xi| convergence threshold
     pyramid: Tuple[int, ...] = (1,)  # downsample factors, coarse-to-fine
     pyramid_iters: Tuple[int, ...] = (20,)
@@ -200,6 +212,7 @@ class PipelineConfig:
     """Top-level composition used by the SLAM pipelines in models/."""
 
     camera: CameraConfig = CameraConfig()
+    frontend: FrontendConfig = FrontendConfig()
     icp: ICPConfig = ICPConfig()
     fusion: FusionConfig = FusionConfig()
     grid: DenseGridConfig = DenseGridConfig()

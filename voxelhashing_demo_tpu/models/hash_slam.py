@@ -73,7 +73,7 @@ def step(
     """One SLAM frame.  depth_raw: (H, W) uint16 in camera units."""
     cam = config.camera
     hcfg = config.hash
-    frame = pre_ops.preprocess(depth_raw, cam)
+    frame = pre_ops.preprocess(depth_raw, cam, config.frontend)
 
     # --- track (frame-to-model) -------------------------------------------
     model_valid = jnp.sum(state.model.depth > 0) > 100

@@ -215,7 +215,8 @@ class KeyframeSLAM:
     def process(self, depth_raw) -> hash_slam.StepInfo:
         info = self._run_step(jnp.asarray(depth_raw))
         frame = pre_ops.preprocess(
-            jnp.asarray(depth_raw), self.config.camera
+            jnp.asarray(depth_raw), self.config.camera,
+            self.config.frontend,
         )
         if self._should_insert(info.pose):
             self._insert_keyframe(info.pose, frame)

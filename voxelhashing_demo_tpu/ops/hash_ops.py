@@ -464,7 +464,10 @@ def integrate(
                             fusion)
         return (i + 1, m)
 
-    _, hmap = jax.lax.while_loop(cond, body, (jnp.int32(0), hmap))
+    # i0 derives from count so its device-varying type matches the loop
+    # condition under shard_map (each device runs its own trip count)
+    i0 = active.count * 0
+    _, hmap = jax.lax.while_loop(cond, body, (i0, hmap))
     return hmap
 
 

@@ -106,23 +106,35 @@ def build_normal_system(
     n_t: jnp.ndarray,
     r: jnp.ndarray,
     valid: jnp.ndarray,
+    huber_delta: float = 0.0,
 ) -> NormalSystem:
     """Form JTJ / JTr directly from the association maps.
 
     J row for pixel i: [n_i, (p_i x n_i)] (translation block first,
     reference: Solver.cu:30-35).  Contractions run on the MXU as
     (6 x N) @ (N x 6) matmuls.
+
+    With ``huber_delta`` > 0 the system is IRLS-weighted by the Huber
+    kernel (w = min(1, delta/|r|)) — outlier correspondences (dynamic
+    objects, depth shadows) are down-weighted instead of fully trusted.
+    The reference has no robust kernel (hard gate only,
+    CameraTrackingUtils.cu:170).
     """
     w = valid.astype(jnp.float32)
+    if huber_delta > 0:
+        w = w * jnp.minimum(
+            1.0, huber_delta / jnp.maximum(jnp.abs(r), 1e-12)
+        )
+    w_sqrt = jnp.sqrt(w)
     cross = jnp.cross(p, n_t)
     J = jnp.concatenate([n_t, cross], axis=-1)         # (H, W, 6)
-    J = (J * w[..., None]).reshape(-1, 6)
-    rw = (r * w).reshape(-1)
+    J = (J * w_sqrt[..., None]).reshape(-1, 6)
+    rw = (r * w_sqrt).reshape(-1)
 
     JTJ = J.T @ J                                       # (6, 6) on MXU
     JTr = J.T @ rw
     error = jnp.sum(rw * rw)
-    count = jnp.sum(w)
+    count = jnp.sum(valid.astype(jnp.float32))
     return NormalSystem(JTJ=JTJ, JTr=JTr, error=error, count=count)
 
 
@@ -164,7 +176,7 @@ def icp_align(
 
     def step(T):
         p, n_t, r, valid = associate(T, src, tgt, cam, cfg)
-        sys = build_normal_system(p, n_t, r, valid)
+        sys = build_normal_system(p, n_t, r, valid, cfg.huber_delta)
         delta = solve_normal_system(sys, cfg.damping)
         T_new = se3.exp(delta) @ T
         return T_new, sys, jnp.sum(delta * delta)

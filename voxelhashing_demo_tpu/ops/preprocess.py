@@ -83,9 +83,53 @@ def compute_normals(vertices: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(valid[..., None], n, 0.0)
 
 
-def preprocess(depth_raw: jnp.ndarray, cam: CameraConfig) -> Frame:
-    """Full frontend: raw depth -> Frame (vertices, normals, metric depth)."""
+def bilateral_filter(
+    depth_m: jnp.ndarray,
+    radius: int = 2,
+    sigma_space: float = 1.5,
+    sigma_depth: float = 0.03,
+) -> jnp.ndarray:
+    """Edge-preserving bilateral filter on metric depth.
+
+    Real sensor depth is noisy; KinectFusion-class systems prefilter before
+    normal estimation.  The reference has no prefilter at all (its
+    preprocess is back-project + normals only, CameraTrackingUtils.cu:50-113).
+    Pure shifted adds on the VPU; invalid (0) pixels neither contribute nor
+    get filled.
+    """
+    acc = jnp.zeros_like(depth_m)
+    wacc = jnp.zeros_like(depth_m)
+    inv_2ss = 1.0 / (2.0 * sigma_space * sigma_space)
+    inv_2sd = 1.0 / (2.0 * sigma_depth * sigma_depth)
+    for dy in range(-radius, radius + 1):
+        for dx in range(-radius, radius + 1):
+            n = jnp.roll(depth_m, (dy, dx), axis=(0, 1))
+            dz = n - depth_m
+            w = (
+                jnp.exp(-(dy * dy + dx * dx) * inv_2ss)
+                * jnp.exp(-dz * dz * inv_2sd)
+            )
+            w = jnp.where(n > 0, w, 0.0)
+            acc = acc + w * n
+            wacc = wacc + w
+    out = acc / jnp.maximum(wacc, 1e-12)
+    return jnp.where((depth_m > 0) & (wacc > 0), out, depth_m)
+
+
+def preprocess(
+    depth_raw: jnp.ndarray, cam: CameraConfig, frontend=None
+) -> Frame:
+    """Full frontend: raw depth -> Frame (vertices, normals, metric depth).
+
+    ``frontend`` is an optional FrontendConfig enabling the bilateral
+    prefilter.
+    """
     depth_m = depth_to_meters(depth_raw, cam)
+    if frontend is not None and frontend.bilateral:
+        depth_m = bilateral_filter(
+            depth_m, frontend.bilateral_radius,
+            frontend.bilateral_sigma_space, frontend.bilateral_sigma_depth,
+        )
     vertices = compute_vertices(depth_m, cam)
     normals = compute_normals(vertices)
     return Frame(vertices=vertices, normals=normals, depth=depth_m)

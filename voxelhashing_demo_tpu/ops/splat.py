@@ -106,8 +106,10 @@ def splat_depth_estimates(
     while A % C:
         C //= 2
     if count is not None and C < A:
+        # the buffer and index derive from device-varying inputs so the
+        # while_loop carry has a consistent varying type under shard_map
         zbuf = jnp.full((cam.height * cam.width + 1,), jnp.inf,
-                        dtype=jnp.float32)
+                        dtype=jnp.float32) + 0.0 * sdf_rows[0, 0]
 
         def cond(carry):
             i, _ = carry
@@ -125,7 +127,7 @@ def splat_depth_estimates(
                                   fusion)
             return (i + 1, zb)
 
-        _, zbuf = jax.lax.while_loop(cond, body, (jnp.int32(0), zbuf))
+        _, zbuf = jax.lax.while_loop(cond, body, (count * 0, zbuf))
         depth = zbuf[:-1].reshape(cam.height, cam.width)
         return jnp.where(jnp.isfinite(depth), depth, 0.0)
 

@@ -131,49 +131,45 @@ def create_sharded(config: PipelineConfig, mesh: Mesh) -> HashSLAMState:
     return jax.jit(_init)()
 
 
-def _icp_sharded(src: Frame, tgt_shard: Frame, cam, cfg, n: int):
-    """Row-sharded point-to-plane ICP with psum-ed normal equations.
+def _icp_level_sharded(src_l: Frame, tgt_l: Frame, lcam, cfg, n: int,
+                       max_iters: int, T0):
+    """One pyramid level of row-sharded GN with psum-ed normal equations.
 
-    src arrives replicated and is sliced to this device's rows; the target
-    model arrives row-sharded and is all-gathered to the full image, since
-    projective association can land a source point anywhere in it.
-    """
-    i = jax.lax.axis_index(AXIS)
-    h = cam.height // n
+    When the level's rows do not divide over the mesh, every device runs
+    the full image identically (no psum needed — replicated compute gives
+    replicated results)."""
+    shard = (lcam.height % n) == 0
+    if shard:
+        i = jax.lax.axis_index(AXIS)
+        h = lcam.height // n
 
-    def rows(x):
-        return jax.lax.dynamic_slice_in_dim(x, i * h, h, axis=0)
+        def rows(x):
+            return jax.lax.dynamic_slice_in_dim(x, i * h, h, axis=0)
 
-    src_shard = Frame(
-        vertices=rows(src.vertices),
-        normals=rows(src.normals),
-        depth=rows(src.depth),
-    )
-
-    def full(x):
-        return jax.lax.all_gather(x, AXIS, tiled=True)
-
-    tgt = Frame(
-        vertices=full(tgt_shard.vertices),
-        normals=full(tgt_shard.normals),
-        depth=full(tgt_shard.depth),
-    )
+        src_l = Frame(
+            vertices=rows(src_l.vertices),
+            normals=rows(src_l.normals),
+            depth=rows(src_l.depth),
+        )
 
     def gn(T):
-        p, n_t, r, valid = icp_ops.associate(T, src_shard, tgt, cam, cfg)
-        sys = icp_ops.build_normal_system(p, n_t, r, valid)
+        p, n_t, r, valid = icp_ops.associate(T, src_l, tgt_l, lcam, cfg)
+        sys = icp_ops.build_normal_system(p, n_t, r, valid, cfg.huber_delta)
+        # always reduce so the loop carry is device-invariant; replicated
+        # (non-sharded) levels just divide the n-fold sum back out
+        s = 1.0 if shard else 1.0 / n
         sys = icp_ops.NormalSystem(
-            JTJ=jax.lax.psum(sys.JTJ, AXIS),
-            JTr=jax.lax.psum(sys.JTr, AXIS),
-            error=jax.lax.psum(sys.error, AXIS),
-            count=jax.lax.psum(sys.count, AXIS),
+            JTJ=jax.lax.psum(sys.JTJ, AXIS) * s,
+            JTr=jax.lax.psum(sys.JTr, AXIS) * s,
+            error=jax.lax.psum(sys.error, AXIS) * s,
+            count=jax.lax.psum(sys.count, AXIS) * s,
         )
         delta = icp_ops.solve_normal_system(sys, cfg.damping)
         return se3.exp(delta) @ T, sys, jnp.sum(delta * delta)
 
     def cond(state):
         T, it, dnorm, err, cnt = state
-        return (it < cfg.max_iters) & (dnorm > cfg.update_tol**2)
+        return (it < max_iters) & (dnorm > cfg.update_tol**2)
 
     def body(state):
         T, it, dnorm, err, cnt = state
@@ -182,7 +178,7 @@ def _icp_sharded(src: Frame, tgt_shard: Frame, cam, cfg, n: int):
         return (T_new, it + 1, d2, mse, sys.count)
 
     init = (
-        se3.identity(),
+        T0,
         jnp.int32(0),
         jnp.float32(jnp.inf),
         jnp.float32(jnp.inf),
@@ -192,6 +188,39 @@ def _icp_sharded(src: Frame, tgt_shard: Frame, cam, cfg, n: int):
     return icp_ops.ICPResult(
         transform=T, error=err, count=count, iters=iters
     )
+
+
+def _icp_sharded(src: Frame, tgt_shard: Frame, cam, cfg, n: int):
+    """Coarse-to-fine row-sharded point-to-plane ICP (the multi-chip twin
+    of ops.icp.icp_align_pyramid).
+
+    src arrives replicated; the target model arrives row-sharded and is
+    all-gathered once (projective association can land a source point
+    anywhere in it), then both are downsampled per pyramid level.
+    """
+    from ..ops.preprocess import downsample_depth, preprocess_metric
+
+    def full(x):
+        return jax.lax.all_gather(x, AXIS, tiled=True)
+
+    tgt_depth = full(tgt_shard.depth)
+
+    levels = sorted(set(cfg.pyramid), reverse=True)
+    iters = cfg.pyramid_iters
+    if len(iters) != len(levels):
+        iters = (cfg.max_iters,) * len(levels)
+
+    T = se3.identity()
+    result = None
+    for factor, max_it in zip(levels, iters):
+        lcam = cam.scaled(factor) if factor > 1 else cam
+        d_s = downsample_depth(src.depth, factor) if factor > 1 else src.depth
+        d_t = downsample_depth(tgt_depth, factor) if factor > 1 else tgt_depth
+        src_l = preprocess_metric(d_s, lcam)
+        tgt_l = preprocess_metric(d_t, lcam)
+        result = _icp_level_sharded(src_l, tgt_l, lcam, cfg, n, max_it, T)
+        T = result.transform
+    return result
 
 
 def _raycast_model_sharded(
@@ -280,7 +309,7 @@ def make_sharded_step(config: PipelineConfig, mesh: Mesh):
 
     def _local_step(state: HashSLAMState, depth_raw: jnp.ndarray):
         my = jax.lax.axis_index(AXIS)
-        frame = pre_ops.preprocess(depth_raw, cam)
+        frame = pre_ops.preprocess(depth_raw, cam, config.frontend)
 
         # --- track: row-sharded ICP, psum-ed normal equations ------------
         model_valid = (
