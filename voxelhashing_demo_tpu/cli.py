@@ -250,6 +250,14 @@ def cmd_render(args) -> None:
             slam.config.hash, slam.config.fusion,
         )
         result["ply"] = {"file": args.ply, "points": n}
+    if args.mesh:
+        from .utils import meshing
+
+        n = meshing.export_mesh_ply(
+            os.path.join(args.out, args.mesh), slam.state.hmap,
+            slam.config.hash, slam.config.fusion,
+        )
+        result["mesh"] = {"file": args.mesh, "faces": n}
     _emit(result)
 
 
@@ -322,6 +330,8 @@ def build_parser() -> argparse.ArgumentParser:
     v.add_argument("--sweep", type=float, default=60.0)
     v.add_argument("--ply", default="",
                    help="also export the surface point cloud (filename)")
+    v.add_argument("--mesh", default="",
+                   help="also export a triangle mesh (marching tetrahedra)")
     v.set_defaults(fn=cmd_render)
 
     i = sub.add_parser("info", help="checkpoint summary")

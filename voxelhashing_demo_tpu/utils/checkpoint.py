@@ -42,13 +42,19 @@ def config_from_json(text: str) -> PipelineConfig:
     raw = json.loads(text)
     defaults = PipelineConfig()
     kwargs = {}
+    known = {sf.name for sf in dataclasses.fields(PipelineConfig)}
     for f in dataclasses.fields(PipelineConfig):
         sub_type = type(getattr(defaults, f.name))
+        sub_fields = {sf.name for sf in dataclasses.fields(sub_type)}
+        # forward/backward compatible: missing sections/fields take
+        # defaults, unknown ones are ignored
         sub_kwargs = {
             k: (tuple(v) if isinstance(v, list) else v)
-            for k, v in raw[f.name].items()
+            for k, v in raw.get(f.name, {}).items()
+            if k in sub_fields
         }
         kwargs[f.name] = sub_type(**sub_kwargs)
+    del known
     return PipelineConfig(**kwargs)
 
 
