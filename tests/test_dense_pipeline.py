@@ -2,7 +2,6 @@
 fusion + raycast, ATE-checked against exact ground truth (BASELINE.json
 config 1, on the analytic scene since no TUM data ships in this image)."""
 
-import dataclasses
 
 import jax.numpy as jnp
 import numpy as np

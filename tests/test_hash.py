@@ -1,10 +1,8 @@
 """Unit + property tests for the deterministic voxel block hash table
 (replacement for the reference's atomic/spinlock table, VoxelUtils.cu)."""
 
-import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from voxelhashing_demo_tpu.config import CameraConfig, FusionConfig, HashConfig
 from voxelhashing_demo_tpu.geometry import coords, se3

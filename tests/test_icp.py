@@ -4,7 +4,6 @@ was commented out, reference: Application.cpp:75)."""
 
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from voxelhashing_demo_tpu.config import CameraConfig, ICPConfig
 from voxelhashing_demo_tpu.geometry import se3

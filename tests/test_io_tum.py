@@ -1,7 +1,6 @@
 """I/O tests: PNG16 codec (pure-Python and native C++ agree), TUM dataset
 round trip through export -> association -> batch decode."""
 
-import os
 
 import numpy as np
 import pytest

@@ -9,7 +9,6 @@ import dataclasses
 
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from voxelhashing_demo_tpu.config import KeyframeConfig, tiny_config
 from voxelhashing_demo_tpu.geometry import se3

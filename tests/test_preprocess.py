@@ -111,8 +111,6 @@ def test_bilateral_filter_denoises_preserves_edges():
 
 
 def test_frontend_config_enables_bilateral():
-    import dataclasses
-
     import numpy as np
 
     from voxelhashing_demo_tpu.config import FrontendConfig

@@ -4,7 +4,6 @@ semantics: exp/log round-trip, group composition)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from voxelhashing_demo_tpu.geometry import se3
 

@@ -4,7 +4,6 @@ import time
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 
 def timeit(name, fn, *args, n=10):

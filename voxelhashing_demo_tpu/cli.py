@@ -21,7 +21,6 @@ Every command prints one JSON line of structured results at the end.
 from __future__ import annotations
 
 import argparse
-import dataclasses
 import json
 import os
 import sys
@@ -59,7 +58,6 @@ def _emit(result: dict) -> None:
 def cmd_demo(args) -> None:
     import jax.numpy as jnp
 
-    from .geometry import se3
     from .models import hash_slam
     from .ops import icp as icp_ops
     from .ops import preprocess as pre_ops

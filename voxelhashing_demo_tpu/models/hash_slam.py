@@ -79,7 +79,8 @@ def step(
     model_valid = jnp.sum(state.model.depth > 0) > 100
     if len(config.icp.pyramid) > 1:
         result = icp_ops.icp_align_pyramid(
-            frame.depth, state.model.depth, cam, config.icp
+            frame.depth, state.model.depth, cam, config.icp,
+            src_full=frame, tgt_full=state.model,
         )
     else:
         result = icp_ops.icp_align(frame, state.model, cam, config.icp)

@@ -37,7 +37,6 @@ Data layout (structure-of-arrays, static shapes):
 
 from __future__ import annotations
 
-from functools import partial
 from typing import NamedTuple, Tuple
 
 import jax

@@ -68,10 +68,13 @@ def associate(
     tgt: Frame,
     cam: CameraConfig,
     cfg: ICPConfig,
+    tgt_packed: jnp.ndarray | None = None,
 ):
     """Projective data association under current estimate T.
 
     Returns (p_src_transformed, n_tgt, residual, valid_mask), each (H, W, ...).
+    ``tgt_packed`` is the loop-hoisted concat([vertices, normals], -1);
+    pass it when calling repeatedly with the same target.
     """
     p = se3.apply(T, src.vertices)                    # (H, W, 3)
     n_src = se3.apply_rotation(T, src.normals)
@@ -82,8 +85,9 @@ def associate(
     # gathers are the dominant cost on TPU, ~10 ns/element).
     u = jnp.clip(ij[..., 0], 0, cam.width - 1)
     v = jnp.clip(ij[..., 1], 0, cam.height - 1)
-    packed = jnp.concatenate([tgt.vertices, tgt.normals], axis=-1)
-    g = packed[v, u]                                  # (H, W, 6) gather
+    if tgt_packed is None:
+        tgt_packed = jnp.concatenate([tgt.vertices, tgt.normals], axis=-1)
+    g = tgt_packed[v, u]                              # (H, W, 6) gather
     p_t, n_t = g[..., :3], g[..., 3:]
 
     r = jnp.sum((p - p_t) * n_t, axis=-1)             # point-to-plane residual
@@ -174,8 +178,10 @@ def icp_align(
     if init_T is None:
         init_T = se3.identity()
 
+    tgt_packed = jnp.concatenate([tgt.vertices, tgt.normals], axis=-1)
+
     def step(T):
-        p, n_t, r, valid = associate(T, src, tgt, cam, cfg)
+        p, n_t, r, valid = associate(T, src, tgt, cam, cfg, tgt_packed)
         sys = build_normal_system(p, n_t, r, valid, cfg.huber_delta)
         delta = solve_normal_system(sys, cfg.damping)
         T_new = se3.exp(delta) @ T
@@ -208,12 +214,16 @@ def icp_align_pyramid(
     cam: CameraConfig,
     cfg: ICPConfig,
     init_T: jnp.ndarray | None = None,
+    src_full: Frame | None = None,
+    tgt_full: Frame | None = None,
 ) -> ICPResult:
     """Coarse-to-fine ICP over a depth pyramid.
 
     The reference declared a pyramid schedule but never built one
     (common.h:28-29 unused); this is the real thing.  Levels are static
-    Python iteration (each level jit-compiles once).
+    Python iteration (each level jit-compiles once).  Pass ``src_full`` /
+    ``tgt_full`` when full-resolution Frames are already preprocessed —
+    the finest level then skips recomputing vertices/normals.
     """
     import dataclasses
 
@@ -228,10 +238,16 @@ def icp_align_pyramid(
     for factor, max_it in zip(levels, iters):
         lcam = cam.scaled(factor) if factor > 1 else cam
         lcfg = dataclasses.replace(cfg, max_iters=max_it)
-        d_s = downsample_depth(depth_src_m, factor) if factor > 1 else depth_src_m
-        d_t = downsample_depth(depth_tgt_m, factor) if factor > 1 else depth_tgt_m
-        src = preprocess_metric(d_s, lcam)
-        tgt = preprocess_metric(d_t, lcam)
+        if factor > 1:
+            src = preprocess_metric(downsample_depth(depth_src_m, factor),
+                                    lcam)
+            tgt = preprocess_metric(downsample_depth(depth_tgt_m, factor),
+                                    lcam)
+        else:
+            src = (src_full if src_full is not None
+                   else preprocess_metric(depth_src_m, lcam))
+            tgt = (tgt_full if tgt_full is not None
+                   else preprocess_metric(depth_tgt_m, lcam))
         result = icp_align(src, tgt, lcam, lcfg, init_T=T)
         T = result.transform
     return result

@@ -25,7 +25,6 @@ import jax
 import jax.numpy as jnp
 
 from ..config import CameraConfig, FusionConfig, RaycastConfig
-from ..geometry import se3
 from ..geometry import camera as cam_geom
 from .tsdf import DenseTSDF, trilinear_sample, sdf_gradient
 

@@ -13,7 +13,6 @@ central-difference TSDF gradient when requested.
 
 from __future__ import annotations
 
-import struct
 from typing import Optional, Tuple
 
 import jax.numpy as jnp

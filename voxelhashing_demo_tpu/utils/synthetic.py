@@ -14,8 +14,6 @@ sequences with *exact* ground-truth trajectories and geometry for:
 from __future__ import annotations
 
 from functools import partial
-from typing import Callable
-
 import jax
 import jax.numpy as jnp
 import numpy as np

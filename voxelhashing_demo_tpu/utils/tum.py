@@ -15,7 +15,6 @@ from typing import List, Optional, Tuple
 
 import numpy as np
 
-from ..config import CameraConfig
 from . import io as depth_io
 
 
