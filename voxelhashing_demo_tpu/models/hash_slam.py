@@ -177,12 +177,18 @@ class HashSLAM:
         return info
 
     def render(self, pose=None) -> rc_ops.RaycastOutput:
-        """Render from an arbitrary viewpoint (defaults to current pose)."""
+        """Render from an arbitrary viewpoint (defaults to current pose),
+        honoring the configured surface-prediction mode."""
         pose = self.state.pose if pose is None else jnp.asarray(pose)
         active = hash_ops.compact_visible(
             self.state.hmap, self.config.hash, pose, self.config.camera,
             self.config.fusion,
         )
+        if self.config.raycast.mode == "splat":
+            return splat_ops.splat_raycast(
+                self.state.hmap, active, self.config.hash, pose,
+                self.config.camera, self.config.raycast, self.config.fusion,
+            )
         return hash_raycast.raycast_hash(
             self.state.hmap, active, self.config.hash, pose,
             self.config.camera, self.config.raycast, self.config.fusion,

@@ -138,6 +138,52 @@ def splat_depth_estimates(
     return jnp.where(jnp.isfinite(depth), depth, 0.0)
 
 
+def splat_depth_from_map(
+    hmap: HashMap,
+    active: ActiveSet,
+    cfg: HashConfig,
+    T_wc: jnp.ndarray,
+    cam: CameraConfig,
+    rc: RaycastConfig,
+    fusion: FusionConfig,
+) -> jnp.ndarray:
+    """Chunked splat that gathers TSDF rows per chunk — only
+    ceil(count/chunk) chunks' worth of rows are ever read from HBM, not the
+    whole max_active padding."""
+    A = active.ptrs.shape[0]
+    C = min(cfg.integrate_chunk, A)
+    while A % C:
+        C //= 2
+    if C == A:
+        safe = jnp.clip(active.ptrs, 0, hmap.tsdf.shape[0] - 1)
+        return splat_depth_estimates(
+            active.blocks, hmap.tsdf[safe], hmap.weight[safe],
+            active.ptrs != FREE_PTR, cfg, T_wc, cam, rc, fusion,
+        )
+
+    zbuf = jnp.full((cam.height * cam.width + 1,), jnp.inf,
+                    dtype=jnp.float32) + 0.0 * hmap.tsdf[0, 0]
+
+    def cond(carry):
+        i, _ = carry
+        return i * C < active.count
+
+    def body(carry):
+        i, zb = carry
+        b = jax.lax.dynamic_slice(active.blocks, (i * C, 0), (C, 3))
+        ptrs = jax.lax.dynamic_slice(active.ptrs, (i * C,), (C,))
+        safe = jnp.clip(ptrs, 0, hmap.tsdf.shape[0] - 1)
+        zb = _splat_rows_into(
+            zb, b, hmap.tsdf[safe], hmap.weight[safe], ptrs != FREE_PTR,
+            cfg, T_wc, cam, rc, fusion,
+        )
+        return (i + 1, zb)
+
+    _, zbuf = jax.lax.while_loop(cond, body, (active.count * 0, zbuf))
+    depth = zbuf[:-1].reshape(cam.height, cam.width)
+    return jnp.where(jnp.isfinite(depth), depth, 0.0)
+
+
 def _splat_rows_into(
     zbuf: jnp.ndarray,        # (H*W + 1,) running min buffer (+inf init)
     blocks: jnp.ndarray,
@@ -214,18 +260,6 @@ def splat_raycast(
     fusion: FusionConfig,
 ) -> RaycastOutput:
     """Surface prediction of the hashed TSDF from pose ``T_wc`` (the fast
-    frame-to-model path; one row gather + one scatter, no marching)."""
-    safe_ptr = jnp.clip(active.ptrs, 0, hmap.tsdf.shape[0] - 1)
-    depth = splat_depth_estimates(
-        active.blocks,
-        hmap.tsdf[safe_ptr],
-        hmap.weight[safe_ptr],
-        active.ptrs != FREE_PTR,
-        cfg,
-        T_wc,
-        cam,
-        rc,
-        fusion,
-        count=active.count,
-    )
+    frame-to-model path; chunked row gathers + scatter, no marching)."""
+    depth = splat_depth_from_map(hmap, active, cfg, T_wc, cam, rc, fusion)
     return finalize_depth(depth, cam, rc, fusion)

@@ -246,9 +246,8 @@ def _raycast_model_sharded(
         return jax.lax.dynamic_slice_in_dim(x, i * h, h, axis=0)
 
     if config.raycast.mode == "splat":
-        depth = splat_ops.splat_depth_estimates(
-            active.blocks, rows_sdf, rows_w, row_valid, lcfg, T_wc, cam,
-            config.raycast, config.fusion, count=active.count,
+        depth = splat_ops.splat_depth_from_map(
+            hmap, active, lcfg, T_wc, cam, config.raycast, config.fusion,
         )
         # merge the per-device z-buffers (0 = no estimate -> +inf for min)
         depth = jax.lax.pmin(
