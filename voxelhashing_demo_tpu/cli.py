@@ -125,10 +125,11 @@ def cmd_run(args) -> None:
     os.makedirs(args.out, exist_ok=True)
 
     if args.dataset:
-        seq = tum.TUMSequence(args.dataset, max_frames=args.max_frames)
-        depths, gt = seq.load_all(cam.width, cam.height)
-        depths = list(depths)
-        gt = gt if seq.has_gt else None
+        from .utils import stream
+
+        depths, gt = stream.stream_tum(
+            args.dataset, cam.width, cam.height, max_frames=args.max_frames
+        )
     else:
         n = args.synthetic or 30
         depths, gt = synthetic.make_sequence(cam, n, trans_amp=0.10,

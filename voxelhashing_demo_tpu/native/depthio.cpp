@@ -215,7 +215,12 @@ int png16_decode_batch(const char** paths, int count, int width, int height,
       std::vector<uint8_t> buf(static_cast<size_t>(sz), 0);
       size_t rd = fread(buf.data(), 1, size_t(sz), f);
       fclose(f);
+      // the image must match the caller's buffer pitch exactly: decoding
+      // a differently-sized PNG into the slot would scramble rows
+      int w = 0, h = 0, bd = 0;
       if (rd != size_t(sz) ||
+          png16_info(buf.data(), buf.size(), &w, &h, &bd) != 0 ||
+          w != width || h != height ||
           png16_decode(buf.data(), buf.size(), out + npx * i) != 0) {
         failures.fetch_add(1);
       }

@@ -230,4 +230,11 @@ def read_depth_batch(
         )
         if rc == 0:
             return out
-    return np.stack([read_depth_png(p) for p in paths])
+    imgs = [read_depth_png(p) for p in paths]
+    for p, img in zip(paths, imgs):
+        if img.shape != (height, width):
+            raise ValueError(
+                f"{p}: depth image is {img.shape[1]}x{img.shape[0]}, "
+                f"expected {width}x{height}"
+            )
+    return np.stack(imgs)
