@@ -42,7 +42,6 @@ def config_from_json(text: str) -> PipelineConfig:
     raw = json.loads(text)
     defaults = PipelineConfig()
     kwargs = {}
-    known = {sf.name for sf in dataclasses.fields(PipelineConfig)}
     for f in dataclasses.fields(PipelineConfig):
         sub_type = type(getattr(defaults, f.name))
         sub_fields = {sf.name for sf in dataclasses.fields(sub_type)}
@@ -54,7 +53,6 @@ def config_from_json(text: str) -> PipelineConfig:
             if k in sub_fields
         }
         kwargs[f.name] = sub_type(**sub_kwargs)
-    del known
     return PipelineConfig(**kwargs)
 
 
