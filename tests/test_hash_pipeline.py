@@ -85,3 +85,35 @@ def test_moderate_motion_tracks():
     assert sum(bool(i.tracked) for i in slam.infos) >= num_frames - 1
     ate = metrics.ate_rmse(slam.trajectory, gt_poses, align=False)
     assert ate < 0.03, f"moderate-motion ATE {ate}"
+
+
+def test_scan_chunk_matches_sequential():
+    """process_chunk (lax.scan over stacked frames, one dispatch) must give
+    the same trajectory and map as per-frame process."""
+    import jax
+
+    num_frames = 6
+    depths, _ = synthetic.make_sequence(
+        CFG.camera, num_frames, trans_amp=0.05, rot_amp_deg=2.5
+    )
+    seq = hash_slam.HashSLAM(CFG)
+    for d in depths:
+        seq.process(d)
+
+    chunked = hash_slam.HashSLAM(CFG)
+    stack = jnp.stack([jnp.asarray(d) for d in depths])
+    infos = chunked.process_chunk(stack)
+
+    assert infos.pose.shape[0] == num_frames
+    assert len(chunked.trajectory) == num_frames
+    for a, b in zip(seq.trajectory, chunked.trajectory):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(seq.state.hmap.tsdf),
+        np.asarray(chunked.state.hmap.tsdf),
+        atol=1e-5,
+    )
+    assert int(seq.state.hmap.free_top) == int(chunked.state.hmap.free_top)
+    # mixing modes keeps working (scan state feeds per-frame step)
+    info = chunked.process(depths[0])
+    assert bool(jnp.all(jnp.isfinite(info.pose)))

@@ -505,9 +505,7 @@ def garbage_collect(
     stack_idx = jnp.where(
         freeing, hmap.free_top + stale_rank, hmap.free_list.shape[0]
     )
-    free_list = hmap.free_list.at[jnp.clip(stack_idx, 0, hmap.free_list.shape[0] - 1)].set(
-        jnp.where(freeing, hmap.ptrs, 0), mode="drop"
-    ) if False else hmap.free_list.at[stack_idx].set(hmap.ptrs, mode="drop")
+    free_list = hmap.free_list.at[stack_idx].set(hmap.ptrs, mode="drop")
 
     # clear freed entries
     keys = jnp.where(freeing, EMPTY_KEY, hmap.keys)
