@@ -152,3 +152,50 @@ def test_huber_downweights_outliers():
     e_huber = err(dataclasses.replace(base, huber_delta=0.01))
     assert e_huber < e_plain, (e_huber, e_plain)
     assert e_huber < 5e-3
+
+
+def test_octahedral_normal_roundtrip():
+    """The packed-target normal codec must round-trip unit normals to well
+    under the ICP normal gate's resolution (~0.3 deg at bf16)."""
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    n = rng.normal(size=(5000, 3)).astype(np.float32)
+    n /= np.linalg.norm(n, axis=-1, keepdims=True)
+    # include exact axis cases (poles and folds)
+    axes = np.array([[0, 0, 1], [0, 0, -1], [1, 0, 0], [-1, 0, 0],
+                     [0, 1, 0], [0, -1, 0]], dtype=np.float32)
+    n = np.concatenate([n, axes])
+    bits = icp_ops.oct_encode_bits(jnp.asarray(n))
+    back = np.asarray(icp_ops.oct_decode_bits(bits))
+    dot = np.sum(n * back, axis=-1)
+    ang = np.degrees(np.arccos(np.clip(dot, -1, 1)))
+    assert ang.max() < 0.5, f"max angular error {ang.max()} deg"
+    # invalid (zero) normal encodes to 0.0 bits
+    zbits = np.asarray(icp_ops.oct_encode_bits(jnp.zeros((1, 3))))
+    assert zbits[0] == 0.0
+
+
+def test_pyramid_source_pooling_accuracy():
+    """Pooling the source 2x at the finest level (gather-cost optimization)
+    must not materially degrade the recovered transform."""
+    import dataclasses
+
+    cam = CameraConfig(width=160, height=120, fx=129.3, fy=129.1,
+                       cx=79.65, cy=59.8)
+    depths, poses = synthetic.make_sequence(cam, 2, trans_amp=0.05,
+                                            rot_amp_deg=2.5)
+    f0 = pre.preprocess(jnp.asarray(depths[0]), cam)
+    f1 = pre.preprocess(jnp.asarray(depths[1]), cam)
+    T_true = np.linalg.inv(np.asarray(poses[1])) @ np.asarray(poses[0])
+
+    base = ICPConfig(pyramid=(4, 2, 1), pyramid_iters=(10, 5, 4))
+    pooled = dataclasses.replace(base, source_pools=(1, 1, 2))
+    for cfg in (base, pooled):
+        res = icp_ops.icp_align_pyramid(
+            f0.depth, f1.depth, cam, cfg, src_full=f0, tgt_full=f1
+        )
+        # f1 = pose1-view, f0 = pose0-view: res maps src(f0) onto tgt(f1)
+        err = np.asarray(res.transform) @ np.linalg.inv(T_true) - np.eye(4)
+        assert np.abs(err[:3, 3]).max() < 2.5e-3, f"trans err {err[:3,3]}"
+        assert np.abs(err[:3, :3]).max() < 2.5e-3, f"rot err"

@@ -81,6 +81,13 @@ class ICPConfig:
     update_tol: float = 1e-5      # |delta xi| convergence threshold
     pyramid: Tuple[int, ...] = (1,)  # downsample factors, coarse-to-fine
     pyramid_iters: Tuple[int, ...] = (20,)
+    # extra per-level SOURCE-side pooling: level i associates
+    # pyramid[i]*source_pools[i]-pooled source pixels against the
+    # pyramid[i]-res target.  Association is gather-bound (~10 ns per
+    # random HBM element regardless of width), so pooling the source 2x at
+    # the finest level quarters its cost while target precision — which
+    # dominates association quantization — stays full-res.  () = all 1s.
+    source_pools: Tuple[int, ...] = ()
 
 
 @dataclasses.dataclass(frozen=True)

@@ -62,6 +62,70 @@ class ICPResult(NamedTuple):
     iters: jnp.ndarray       # iterations executed
 
 
+def _sign_nz(x: jnp.ndarray) -> jnp.ndarray:
+    """sign() that maps 0 -> +1 (octahedral fold needs a branchless sign)."""
+    return jnp.where(x >= 0, 1.0, -1.0).astype(jnp.float32)
+
+
+def oct_encode_bits(normals: jnp.ndarray) -> jnp.ndarray:
+    """Unit normals (..., 3) -> one float32 of bits: 2x bf16 octahedral.
+
+    Octahedral mapping (Meyer et al. 2010): project onto the L1 sphere,
+    fold the lower hemisphere.  bf16 components give ~0.3 deg worst-case
+    angular error — far inside ICP's normal gate (cos > 0.6) and the
+    Gauss-Newton noise floor.  The zero (invalid) normal encodes to 0.0
+    bits; consumers must gate validity separately (pack_target stores
+    depth 0 for such pixels).
+    """
+    n = normals
+    an = jnp.sum(jnp.abs(n), axis=-1, keepdims=True)
+    p = n[..., :2] / jnp.maximum(an, 1e-12)
+    fold = (1.0 - jnp.abs(p[..., ::-1])) * _sign_nz(p)
+    oct2 = jnp.where(n[..., 2:] < 0, fold, p)
+    u = jax.lax.bitcast_convert_type(
+        oct2.astype(jnp.bfloat16), jnp.uint16
+    ).astype(jnp.uint32)
+    bits = u[..., 0] | (u[..., 1] << 16)
+    return jax.lax.bitcast_convert_type(bits, jnp.float32)
+
+
+def oct_decode_bits(bits_f32: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of oct_encode_bits: (...,) float32 bits -> (..., 3) unit
+    normals.  All-zero bits decode to (0, 0, 1); gate by depth validity."""
+    bits = jax.lax.bitcast_convert_type(bits_f32, jnp.uint32)
+    x = jax.lax.bitcast_convert_type(
+        (bits & jnp.uint32(0xFFFF)).astype(jnp.uint16), jnp.bfloat16
+    ).astype(jnp.float32)
+    y = jax.lax.bitcast_convert_type(
+        (bits >> 16).astype(jnp.uint16), jnp.bfloat16
+    ).astype(jnp.float32)
+    z = 1.0 - jnp.abs(x) - jnp.abs(y)
+    xy = jnp.stack([x, y], axis=-1)
+    fold = (1.0 - jnp.abs(xy[..., ::-1])) * _sign_nz(xy)
+    xy = jnp.where(z[..., None] < 0, fold, xy)
+    n = jnp.concatenate([xy, z[..., None]], axis=-1)
+    ln = jnp.linalg.norm(n, axis=-1, keepdims=True)
+    return n / jnp.maximum(ln, 1e-12)
+
+
+def pack_target(tgt: Frame) -> jnp.ndarray:
+    """Pack an association target into (H, W, 2) float32: [depth, normal].
+
+    Association is gather-bound (~10 ns per random HBM element): packing
+    [vertices, normals] costs 24 bytes/pixel per GN iteration.  The target
+    vertex is ray(u, v) * depth with ray a pure function of the gathered
+    pixel coords (exactly how preprocess built it), and the normal fits in
+    one float32 of octahedral bf16 bits — so 8 bytes/pixel carries the
+    same information.  Pixels without a valid normal store depth 0 (they
+    can never be point-to-plane targets).
+    """
+    usable = (tgt.depth > 0) & (
+        jnp.sum(tgt.normals * tgt.normals, axis=-1) > 0.5
+    )
+    d = jnp.where(usable, tgt.depth, 0.0)
+    return jnp.stack([d, oct_encode_bits(tgt.normals)], axis=-1)
+
+
 def associate(
     T: jnp.ndarray,
     src: Frame,
@@ -73,27 +137,38 @@ def associate(
     """Projective data association under current estimate T.
 
     Returns (p_src_transformed, n_tgt, residual, valid_mask), each (H, W, ...).
-    ``tgt_packed`` is the loop-hoisted concat([vertices, normals], -1);
-    pass it when calling repeatedly with the same target.
+    ``tgt_packed`` is the loop-hoisted pack_target(tgt); pass it when
+    calling repeatedly with the same target.
     """
     p = se3.apply(T, src.vertices)                    # (H, W, 3)
     n_src = se3.apply_rotation(T, src.normals)
     ij, in_image = cam_geom.project_nearest(p, cam)
 
-    # clamp for the gather; validity handled by mask.  Vertices and normals
-    # are packed so association costs ONE gather pass, not two (random HBM
-    # gathers are the dominant cost on TPU, ~10 ns/element).
+    # clamp for the gather; validity handled by mask.  The gather is THE
+    # cost of association (random HBM access, ~10 ns/element), so the
+    # target is packed to 8 bytes/pixel (see pack_target).
     u = jnp.clip(ij[..., 0], 0, cam.width - 1)
     v = jnp.clip(ij[..., 1], 0, cam.height - 1)
     if tgt_packed is None:
-        tgt_packed = jnp.concatenate([tgt.vertices, tgt.normals], axis=-1)
-    g = tgt_packed[v, u]                              # (H, W, 6) gather
-    p_t, n_t = g[..., :3], g[..., 3:]
+        tgt_packed = pack_target(tgt)
+    g = tgt_packed[v, u]                              # (H, W, 2) gather
+    d_t = g[..., 0]
+    n_t = oct_decode_bits(g[..., 1])
+    # reconstruct the target vertex = ray(u, v) * depth, bit-for-bit the
+    # formula preprocess used (geometry/camera.pixel_rays)
+    p_t = jnp.stack(
+        [
+            (u.astype(jnp.float32) - cam.cx) / cam.fx * d_t,
+            (v.astype(jnp.float32) - cam.cy) / cam.fy * d_t,
+            d_t,
+        ],
+        axis=-1,
+    )
 
     r = jnp.sum((p - p_t) * n_t, axis=-1)             # point-to-plane residual
 
     src_valid = src.vertices[..., 2] != 0
-    tgt_valid = (p_t[..., 2] != 0) & (jnp.sum(n_t * n_t, axis=-1) > 0.5)
+    tgt_valid = d_t > 0
     n_ok = jnp.sum(n_src * n_t, axis=-1) > cfg.normal_thresh
     valid = (
         src_valid
@@ -178,7 +253,7 @@ def icp_align(
     if init_T is None:
         init_T = se3.identity()
 
-    tgt_packed = jnp.concatenate([tgt.vertices, tgt.normals], axis=-1)
+    tgt_packed = pack_target(tgt)
 
     def step(T):
         p, n_t, r, valid = associate(T, src, tgt, cam, cfg, tgt_packed)
@@ -227,7 +302,8 @@ def icp_align_pyramid(
     """
     import dataclasses
 
-    from .preprocess import downsample_depth, preprocess_metric
+    from .preprocess import (downsample_depth, downsample_depth_mean,
+                             preprocess_metric)
 
     T = se3.identity() if init_T is None else init_T
     result = None
@@ -235,19 +311,36 @@ def icp_align_pyramid(
     iters = cfg.pyramid_iters
     if len(iters) != len(levels):
         iters = (cfg.max_iters,) * len(levels)
-    for factor, max_it in zip(levels, iters):
+    pools = cfg.source_pools
+    if len(pools) != len(levels):
+        pools = (1,) * len(levels)
+    for factor, max_it, pool in zip(levels, iters, pools):
         lcam = cam.scaled(factor) if factor > 1 else cam
         lcfg = dataclasses.replace(cfg, max_iters=max_it)
         if factor > 1:
-            src = preprocess_metric(downsample_depth(depth_src_m, factor),
-                                    lcam)
             tgt = preprocess_metric(downsample_depth(depth_tgt_m, factor),
                                     lcam)
         else:
-            src = (src_full if src_full is not None
-                   else preprocess_metric(depth_src_m, lcam))
             tgt = (tgt_full if tgt_full is not None
                    else preprocess_metric(depth_tgt_m, lcam))
+        # the source may be pooled further than the target: its points are
+        # metric 3D samples projected into the lcam-res target, so a
+        # coarser source only thins correspondences (gather cost /pool^2)
+        # without coarsening the target they are matched against.  Pooled
+        # sources use MEAN pooling: min-pooling's near-bias would bend the
+        # finest-level solution (see downsample_depth_mean).
+        sfactor = factor * pool
+        if pool > 1:
+            src = preprocess_metric(
+                downsample_depth_mean(depth_src_m, sfactor),
+                cam.scaled(sfactor),
+            )
+        elif sfactor > 1:
+            src = preprocess_metric(downsample_depth(depth_src_m, sfactor),
+                                    cam.scaled(sfactor))
+        else:
+            src = (src_full if src_full is not None
+                   else preprocess_metric(depth_src_m, lcam))
         result = icp_align(src, tgt, lcam, lcfg, init_T=T)
         T = result.transform
     return result

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from ..config import CameraConfig
@@ -144,20 +145,62 @@ def preprocess_metric(depth_m: jnp.ndarray, cam: CameraConfig) -> Frame:
 
 
 def downsample_depth(depth_m: jnp.ndarray, factor: int) -> jnp.ndarray:
-    """Depth pyramid level: subsample valid-aware 2x2 min-pooling per level.
+    """Depth pyramid level: valid-aware min-pooling by ``factor``.
 
     The reference declares an ICP pyramid {4, 5, 10} but never uses it
     (common.h:28-29); here the pyramid is real.  Min-pooling (over valid
     pixels) avoids averaging across depth discontinuities.
+
+    One ``reduce_window`` with a (factor, factor) window: the earlier
+    reshape/transpose formulation lowered to stride-``factor`` row slices
+    that break the TPU's (8, 128) tiling — ~2 ms per slice on v5e
+    (tools/profile_trace.py); windowed reduction is the native pooling op.
     """
-    out = depth_m
-    f = factor
-    while f > 1:
-        H, W = out.shape
-        tiles = out.reshape(H // 2, 2, W // 2, 2).transpose(0, 2, 1, 3)
-        tiles = tiles.reshape(H // 2, W // 2, 4)
-        big = jnp.where(tiles > 0, tiles, jnp.inf)
-        m = jnp.min(big, axis=-1)
-        out = jnp.where(jnp.isfinite(m), m, 0.0)
-        f //= 2
-    return out
+    if factor <= 1:
+        return depth_m
+    big = jnp.where(depth_m > 0, depth_m, jnp.inf)
+    m = -jax.lax.reduce_window(
+        -big,
+        -jnp.inf,
+        jax.lax.max,
+        window_dimensions=(factor, factor),
+        window_strides=(factor, factor),
+        padding="VALID",
+    )
+    return jnp.where(jnp.isfinite(m), m, 0.0)
+
+
+def downsample_depth_mean(
+    depth_m: jnp.ndarray, factor: int, edge_band: float = 0.05
+) -> jnp.ndarray:
+    """Valid-aware AVERAGE pooling with depth-edge rejection.
+
+    Min-pooling assigns the window's nearest depth to the window-center
+    ray — a bias of up to one fine pixel along the ray that measurably
+    bends the finest-level ICP solution (~6 mm on the synthetic golden
+    scene).  Averaging is unbiased on smooth surfaces; windows spanning a
+    depth discontinuity (max - min > ``edge_band``) or any invalid pixel
+    mixing are emitted as invalid rather than as phantom mid-air points.
+    Used for ICP source-side pooling (ICPConfig.source_pools).
+    """
+    if factor <= 1:
+        return depth_m
+    valid = depth_m > 0
+    dims, strides = (factor, factor), (factor, factor)
+    s = jax.lax.reduce_window(
+        jnp.where(valid, depth_m, 0.0), 0.0, jax.lax.add, dims, strides,
+        "VALID",
+    )
+    c = jax.lax.reduce_window(
+        valid.astype(jnp.float32), 0.0, jax.lax.add, dims, strides, "VALID"
+    )
+    mn = -jax.lax.reduce_window(
+        -jnp.where(valid, depth_m, jnp.inf), -jnp.inf, jax.lax.max, dims,
+        strides, "VALID",
+    )
+    mx = jax.lax.reduce_window(
+        jnp.where(valid, depth_m, -jnp.inf), -jnp.inf, jax.lax.max, dims,
+        strides, "VALID",
+    )
+    ok = (c > 0) & ((mx - mn) <= edge_band)
+    return jnp.where(ok, s / jnp.maximum(c, 1.0), 0.0)

@@ -136,10 +136,11 @@ def _icp_level_sharded(src_l: Frame, tgt_l: Frame, lcam, cfg, n: int,
     When the level's rows do not divide over the mesh, every device runs
     the full image identically (no psum needed — replicated compute gives
     replicated results)."""
-    shard = (lcam.height % n) == 0
+    src_h = src_l.depth.shape[0]  # may be pooled coarser than the target
+    shard = (src_h % n) == 0
     if shard:
         i = jax.lax.axis_index(AXIS)
-        h = lcam.height // n
+        h = src_h // n
 
         def rows(x):
             return jax.lax.dynamic_slice_in_dim(x, i * h, h, axis=0)
@@ -150,8 +151,12 @@ def _icp_level_sharded(src_l: Frame, tgt_l: Frame, lcam, cfg, n: int,
             depth=rows(src_l.depth),
         )
 
+    tgt_packed = icp_ops.pack_target(tgt_l)  # hoisted out of the GN loop
+
     def gn(T):
-        p, n_t, r, valid = icp_ops.associate(T, src_l, tgt_l, lcam, cfg)
+        p, n_t, r, valid = icp_ops.associate(
+            T, src_l, tgt_l, lcam, cfg, tgt_packed
+        )
         sys = icp_ops.build_normal_system(p, n_t, r, valid, cfg.huber_delta)
         # always reduce so the loop carry is device-invariant; replicated
         # (non-sharded) levels just divide the n-fold sum back out
@@ -207,14 +212,21 @@ def _icp_sharded(src: Frame, tgt_shard: Frame, cam, cfg, n: int):
     iters = cfg.pyramid_iters
     if len(iters) != len(levels):
         iters = (cfg.max_iters,) * len(levels)
+    pools = cfg.source_pools
+    if len(pools) != len(levels):
+        pools = (1,) * len(levels)
 
     T = se3.identity()
     result = None
-    for factor, max_it in zip(levels, iters):
+    for factor, max_it, pool in zip(levels, iters, pools):
         lcam = cam.scaled(factor) if factor > 1 else cam
-        d_s = downsample_depth(src.depth, factor) if factor > 1 else src.depth
+        sfactor = factor * pool  # source-side pooling (see ops/icp.py)
+        d_s = (downsample_depth(src.depth, sfactor) if sfactor > 1
+               else src.depth)
         d_t = downsample_depth(tgt_depth, factor) if factor > 1 else tgt_depth
-        src_l = preprocess_metric(d_s, lcam)
+        src_l = preprocess_metric(
+            d_s, cam.scaled(sfactor) if sfactor > 1 else cam
+        )
         tgt_l = preprocess_metric(d_t, lcam)
         result = _icp_level_sharded(src_l, tgt_l, lcam, cfg, n, max_it, T)
         T = result.transform
