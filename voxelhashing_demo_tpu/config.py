@@ -135,10 +135,12 @@ class HashConfig:
     max_new_per_frame: int = 4096  # padded allocation capacity per frame
     band_steps: int = 3            # samples along the truncation band per ray
     candidate_stride: int = 1      # pixel subsampling for allocation
-    # fusion processes the active set in chunks of this many blocks inside
-    # a dynamic-trip-count loop: cost scales with real occupancy, not with
-    # the max_active padding
-    integrate_chunk: int = 1024
+    # fusion/splat process the active set in chunks of this many blocks
+    # inside a dynamic-trip-count loop: cost scales with real occupancy,
+    # not with the max_active padding.  Smaller chunks waste less padded
+    # gather/scatter work (the dominant cost, ~9 ns/element); 128 measured
+    # fastest on v5e across 0.7k-4k active blocks (tools/ablate_step.py)
+    integrate_chunk: int = 128
     # packing bounds for block coords -> int32 key (10 bits per axis, biased)
     key_bits: int = 10
 

@@ -90,12 +90,8 @@ def step(
     T_rel = jnp.where(ok, result.transform, se3.identity())
     pose_new = state.pose @ T_rel
 
-    # --- map update: alloc -> compact -> integrate ------------------------
-    hmap, active, n_alloc = hash_ops.fuse_frame(
-        state.hmap, frame, pose_new, cam, hcfg, config.fusion
-    )
-
-    # --- periodic garbage collection --------------------------------------
+    # --- periodic garbage collection (before fusion, so the visible set
+    # and the splat never reference rows freed this frame) ------------------
     if config.gc.enabled:
         def run_gc(m):
             return hash_ops.garbage_collect(
@@ -108,9 +104,14 @@ def step(
         do_gc = (state.frame_idx % config.gc.interval) == (
             config.gc.interval - 1
         )
-        hmap, n_freed = jax.lax.cond(do_gc, run_gc, no_gc, hmap)
+        hmap, n_freed = jax.lax.cond(do_gc, run_gc, no_gc, state.hmap)
     else:
-        n_freed = jnp.int32(0)
+        hmap, n_freed = state.hmap, jnp.int32(0)
+
+    # --- map update: alloc -> compact -> integrate ------------------------
+    hmap, active, n_alloc = hash_ops.fuse_frame(
+        hmap, frame, pose_new, cam, hcfg, config.fusion
+    )
 
     # --- surface prediction for the next frame's tracking ------------------
     if config.raycast.mode == "splat":

@@ -331,28 +331,7 @@ def make_sharded_step(config: PipelineConfig, mesh: Mesh):
         T_rel = jnp.where(ok, result.transform, se3.identity())
         pose_new = state.pose @ T_rel
 
-        # --- allocate: route candidates to their owner -------------------
-        cand = hash_ops.frame_candidate_keys(
-            frame, pose_new, cam, lcfg, config.fusion
-        )
-        cand_blocks = coords.unpack_block_key(cand, lcfg.key_bits)
-        mine = (
-            _owner(cand_blocks, config.hash, n) == my
-        ) & (cand != hash_ops.EMPTY_KEY)
-        cand = jnp.where(mine, cand, hash_ops.EMPTY_KEY)
-        hmap, n_alloc = hash_ops.insert_blocks(
-            state.hmap, lcfg, cand, bucket_fn
-        )
-
-        # --- fuse: fully local (each block has one owner) ----------------
-        active = hash_ops.compact_visible(
-            hmap, lcfg, pose_new, cam, config.fusion
-        )
-        hmap = hash_ops.integrate(
-            hmap, active, lcfg, frame.depth, pose_new, cam, config.fusion
-        )
-
-        # --- GC: local ----------------------------------------------------
+        # --- GC: local (before fusion, matching models/hash_slam.step) ----
         if config.gc.enabled:
             do_gc = (state.frame_idx % config.gc.interval) == (
                 config.gc.interval - 1
@@ -367,10 +346,31 @@ def make_sharded_step(config: PipelineConfig, mesh: Mesh):
                     m,
                     jax.lax.pcast(jnp.int32(0), (AXIS,), to="varying"),
                 ),
-                hmap,
+                state.hmap,
             )
         else:
-            n_freed = jnp.int32(0)
+            hmap, n_freed = state.hmap, jnp.int32(0)
+
+        # --- allocate: route candidates to their owner -------------------
+        cand = hash_ops.frame_candidate_keys(
+            frame, pose_new, cam, lcfg, config.fusion
+        )
+        cand_blocks = coords.unpack_block_key(cand, lcfg.key_bits)
+        mine = (
+            _owner(cand_blocks, config.hash, n) == my
+        ) & (cand != hash_ops.EMPTY_KEY)
+        cand = jnp.where(mine, cand, hash_ops.EMPTY_KEY)
+        hmap, n_alloc = hash_ops.insert_blocks(
+            hmap, lcfg, cand, bucket_fn
+        )
+
+        # --- fuse: fully local (each block has one owner) ----------------
+        active = hash_ops.compact_visible(
+            hmap, lcfg, pose_new, cam, config.fusion
+        )
+        hmap = hash_ops.integrate(
+            hmap, active, lcfg, frame.depth, pose_new, cam, config.fusion
+        )
 
         # --- raycast: halo all_gather + row-sharded march ----------------
         model, _ = _raycast_model_sharded(hmap, lcfg, pose_new, config, n)
