@@ -6,6 +6,29 @@ fusion, and sphere-traced raycasting, with multi-chip scaling via
 jax.sharding.  See SURVEY.md for the reference analysis.
 """
 
+import os as _os
+
+import jax as _jax
+
+# Persistent XLA compilation cache: the flagship step takes minutes to
+# compile over a tunneled TPU; caching makes every subsequent process
+# (bench.py, tools/, the driver) start in seconds.  Opt out with
+# VOXELHASHING_NO_COMPILE_CACHE=1 (e.g. when measuring compile time).
+if not _os.environ.get("VOXELHASHING_NO_COMPILE_CACHE"):
+    _cache_dir = _os.environ.get(
+        "VOXELHASHING_COMPILE_CACHE_DIR",
+        _os.path.join(_os.path.dirname(_os.path.dirname(__file__)),
+                      ".jax_cache"),
+    )
+    try:
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        _jax.config.update(
+            "jax_persistent_cache_min_entry_size_bytes", -1
+        )
+    except Exception:  # older jax without these flags: cache is best-effort
+        pass
+
 from . import config
 from .config import PipelineConfig, tiny_config
 
