@@ -73,7 +73,7 @@ def f_axis1(s, u):
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
                   pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-    )(src, u)
+    )(s, u)
 
 
 timeit("taa axis=1 (512,128) lanes", jax.jit(f_axis1), src, u_idx)
@@ -95,7 +95,7 @@ def f_axis1b(s, u):
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
                   pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-    )(src, u)
+    )(s, u)
 
 
 timeit("taa axis=1 (512,256) lanes", jax.jit(f_axis1b), src256, u256)
@@ -104,16 +104,6 @@ timeit("taa axis=1 (512,256) lanes", jax.jit(f_axis1b), src256, u256)
 # ---- form 3: the full two-step per-block gather, 128-block grid ----
 # per grid step: window slice (dynamic rows), axis=0 row gather into
 # (512, 256), then one lane-gather column pick -> (512,) results.
-def k_full(v0_ref, u0_ref, img_ref, dv_ref, du_ref, out_ref):
-    b = pl.program_id(0)
-    v0 = v0_ref[b]
-    u0 = u0_ref[b]
-    patch = img_ref[pl.ds(v0, 256), pl.ds(u0, 256)]          # (256, 256)
-    dv = dv_ref[:]                                            # (512, 256)
-    rows = jnp.take_along_axis(patch, dv, axis=0)             # (512, 256)
-    out_ref[:] = jnp.take_along_axis(rows, du_ref[:], axis=1)[:, :128]
-
-
 NB = 128
 v0s = jax.random.randint(key, (NB,), 0, H - 256)
 u0s = jax.random.randint(key, (NB,), 0, W - 256)

@@ -56,7 +56,10 @@ midx = jnp.where(mask, idx, HW)
 
 def compact_then_scatter(v, i, m):
     pos = jnp.cumsum(m.astype(jnp.int32)) - 1
-    dst = jnp.where(m, pos, C)
+    # masked-out elements go OUT OF BOUNDS (C+1) so mode="drop" removes
+    # them; the issued indices are then genuinely sorted AND unique (a
+    # strictly increasing cumsum prefix), making the hints valid
+    dst = jnp.where(m, pos, C + 1)
     cidx = jnp.full((C + 1,), HW, dtype=jnp.int32)
     cval = jnp.full((C + 1,), jnp.inf, dtype=jnp.float32)
     cidx = cidx.at[dst].set(i, mode="drop", unique_indices=True,
@@ -89,7 +92,7 @@ timeit("compact(no hints) + scatter-min 16k",
 # just the compaction scatters, to isolate their cost
 def compaction_only(v, i, m):
     pos = jnp.cumsum(m.astype(jnp.int32)) - 1
-    dst = jnp.where(m, pos, C)
+    dst = jnp.where(m, pos, C + 1)  # OOB-drop keeps the hints valid
     cidx = jnp.full((C + 1,), HW, dtype=jnp.int32)
     cval = jnp.full((C + 1,), jnp.inf, dtype=jnp.float32)
     cidx = cidx.at[dst].set(i, mode="drop", unique_indices=True,

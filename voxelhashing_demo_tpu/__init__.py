@@ -12,9 +12,11 @@ import jax as _jax
 
 # Persistent XLA compilation cache: the flagship step takes minutes to
 # compile over a tunneled TPU; caching makes every subsequent process
-# (bench.py, tools/, the driver) start in seconds.  Opt out with
-# VOXELHASHING_NO_COMPILE_CACHE=1 (e.g. when measuring compile time).
-if not _os.environ.get("VOXELHASHING_NO_COMPILE_CACHE"):
+# (bench.py, tools/, the driver) start in seconds.  NOTE: importing this
+# package therefore mutates global jax.config (documented in CLAUDE.md).
+# Opt out with VOXELHASHING_NO_COMPILE_CACHE=1 (e.g. when measuring
+# compile time); "0"/"" leave the cache on.
+if _os.environ.get("VOXELHASHING_NO_COMPILE_CACHE") in (None, "", "0"):
     _cache_dir = _os.environ.get(
         "VOXELHASHING_COMPILE_CACHE_DIR",
         _os.path.join(_os.path.dirname(_os.path.dirname(__file__)),

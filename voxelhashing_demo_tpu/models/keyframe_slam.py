@@ -43,6 +43,7 @@ class _KeyframeRecord:
     index: int                 # keyframe id == pose index in the graph
     frame_index: int           # global frame number
     frame: pre_ops.Frame       # downsampled preprocessed frame (for ICP)
+    depth_raw: np.ndarray      # raw uint16 depth (for map re-integration)
 
 
 class KeyframeSLAM:
@@ -138,14 +139,17 @@ class KeyframeSLAM:
             or trans > self.kcfg.min_translation
         )
 
-    def _insert_keyframe(self, pose, frame: pre_ops.Frame) -> None:
+    def _insert_keyframe(self, pose, frame: pre_ops.Frame,
+                         depth_raw) -> None:
         k = len(self.keyframes)
         if k >= self.kcfg.max_keyframes:
             return
         small = self._downsample(frame)
         self.graph = pose_graph.add_pose(self.graph, pose)
         rec = _KeyframeRecord(index=k, frame_index=self._frame_idx,
-                              frame=small)
+                              frame=small,
+                              depth_raw=np.asarray(depth_raw,
+                                                   dtype=np.uint16))
 
         loop_closed = False
         if k > 0:
@@ -214,12 +218,14 @@ class KeyframeSLAM:
 
     def process(self, depth_raw) -> hash_slam.StepInfo:
         info = self._run_step(jnp.asarray(depth_raw))
-        frame = pre_ops.preprocess(
-            jnp.asarray(depth_raw), self.config.camera,
-            self.config.frontend,
-        )
         if self._should_insert(info.pose):
-            self._insert_keyframe(info.pose, frame)
+            # preprocess only when a keyframe is actually inserted — on
+            # ordinary frames the jitted step already did it internally
+            frame = pre_ops.preprocess(
+                jnp.asarray(depth_raw), self.config.camera,
+                self.config.frontend,
+            )
+            self._insert_keyframe(info.pose, frame, depth_raw)
         kf = self.keyframes[-1]
         rel = se3.inverse(self._kf_pose(kf.index)) @ self._pose
         self._frame_refs.append((kf.index, np.asarray(rel)))

@@ -293,16 +293,21 @@ def block_in_frustum(
     cam: CameraConfig,
     cfg: HashConfig,
     fusion: FusionConfig,
-    margin_px: float = 32.0,
+    margin_px: float = 4.0,
 ) -> jnp.ndarray:
-    """Conservative frustum test of block *centers* with a pixel margin.
+    """Conservative frustum test of block *centers* with a z-adaptive margin.
 
     The reference tests only the min corner with no margin and with a
     suspect transform direction (blockInFrustum, VoxelUtils.cu:343-359,
-    author's own TODO at :348).  Center + margin is conservative for the
-    whole block.
+    author's own TODO at :348).  Here the pixel margin scales with the
+    block's projected extent, radius * f / z (a 16 cm block at 0.5 m with
+    fx~517 projects ~140 px): a fixed margin under-covers near blocks whose
+    center is off-screen while voxels still project inside, producing
+    integration/splat seams at image borders at close range.  ``margin_px``
+    is constant extra slack on top.
     """
     half = 0.5 * cfg.block_size * fusion.voxel_size
+    radius = half * 1.7320508  # bounding-sphere radius of the block
     center = (
         coords.block2world(blocks, fusion.voxel_size, cfg.block_size) + half
     )
@@ -311,16 +316,20 @@ def block_in_frustum(
     safe_z = jnp.maximum(z, 1e-6)
     u = pc[..., 0] / safe_z * cam.fx + cam.cx
     v = pc[..., 1] / safe_z * cam.fy + cam.cy
-    m = margin_px
+    # projected block radius in pixels; z clamped so blocks hugging the
+    # camera get an effectively unbounded margin (conservative)
+    zm = jnp.maximum(z, 0.05)
+    mu = margin_px + radius * cam.fx / zm
+    mv = margin_px + radius * cam.fy / zm
     near = cam.depth_min - 2.0 * half
     far = cam.depth_max + 2.0 * half
     return (
         (z > near)
         & (z < far)
-        & (u >= -m)
-        & (u < cam.width + m)
-        & (v >= -m)
-        & (v < cam.height + m)
+        & (u >= -mu)
+        & (u < cam.width + mu)
+        & (v >= -mv)
+        & (v < cam.height + mv)
     )
 
 
