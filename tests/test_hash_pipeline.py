@@ -71,10 +71,11 @@ def test_hash_slam_gc_runs():
 
 
 def test_moderate_motion_tracks():
-    """The coarse-to-fine pyramid handles moderately large inter-frame
-    motion from an identity initialization (a constant-velocity predictor
-    was tried and REJECTED: on direction reversals it lands ICP in wrong
-    local minima of symmetric scenes — worse than no prediction)."""
+    """Moderately large inter-frame motion with direction reversals (the
+    sinusoid) must track.  This is the regression guard for the RACED
+    constant-velocity prior: a naive always-prior start lands ICP in wrong
+    local minima of this symmetric scene on reversals; racing it against
+    the identity start (ops/icp.pick_better) keeps reversals safe."""
     num_frames = 8
     depths, gt_poses = synthetic.make_sequence(
         CFG.camera, num_frames, trans_amp=0.12, rot_amp_deg=6.0
@@ -85,6 +86,53 @@ def test_moderate_motion_tracks():
     assert sum(bool(i.tracked) for i in slam.infos) >= num_frames - 1
     ate = metrics.ate_rmse(slam.trajectory, gt_poses, align=False)
     assert ate < 0.03, f"moderate-motion ATE {ate}"
+
+
+import dataclasses  # noqa: E402
+
+_PYR_ICP = dataclasses.replace(
+    CFG.icp, pyramid=(4, 2, 1), pyramid_iters=(8, 4, 2)
+)
+
+
+def test_fast_motion_tracks():
+    """2x the moderate test's amplitude (VERDICT r1 item 8) at unchanged
+    per-level iteration caps, with the flagship pyramid schedule."""
+    num_frames = 16
+    cfg = dataclasses.replace(CFG, icp=_PYR_ICP)
+    depths, gt_poses = synthetic.make_sequence(
+        CFG.camera, num_frames, trans_amp=0.24, rot_amp_deg=12.0
+    )
+    slam = hash_slam.HashSLAM(cfg)
+    for d in depths:
+        slam.process(d)
+    assert sum(bool(i.tracked) for i in slam.infos) >= num_frames - 1
+    ate = metrics.ate_rmse(slam.trajectory, gt_poses, align=False)
+    assert ate < 0.03, f"fast-motion ATE {ate}"
+
+
+def test_motion_prior_helps_on_acceleration():
+    """Accelerating constant-direction motion (make_ramp_sequence) is the
+    regime where the constant-velocity prior is load-bearing: with it the
+    sequence tracks tightly; identity-only initialization drifts several-x
+    worse once per-frame motion exceeds its convergence basin."""
+    depths, gt_poses = synthetic.make_ramp_sequence(
+        CFG.camera, 12, max_trans_step=0.11, max_rot_step_deg=5.5
+    )
+    ates = {}
+    for prior in (True, False):
+        cfg = dataclasses.replace(
+            CFG, icp=dataclasses.replace(_PYR_ICP, use_motion_prior=prior)
+        )
+        slam = hash_slam.HashSLAM(cfg)
+        for d in depths:
+            slam.process(d)
+        ates[prior] = metrics.ate_rmse(slam.trajectory, gt_poses,
+                                       align=False)
+    assert ates[True] < 0.035, f"prior ATE {ates[True]}"
+    assert ates[False] > 2.0 * ates[True], (
+        f"prior not load-bearing: {ates}"
+    )
 
 
 def test_scan_chunk_matches_sequential():

@@ -79,6 +79,9 @@ class ICPConfig:
     damping: float = 1e-6         # Levenberg damping added to JTJ diagonal
     huber_delta: float = 0.0      # IRLS Huber kernel width (m); 0 = off
     update_tol: float = 1e-5      # |delta xi| convergence threshold
+    # constant-velocity motion prior, RACED against the identity start at
+    # the coarsest level (ops/icp.icp_align_pyramid) so it can only help
+    use_motion_prior: bool = True
     pyramid: Tuple[int, ...] = (1,)  # downsample factors, coarse-to-fine
     pyramid_iters: Tuple[int, ...] = (20,)
     # extra per-level SOURCE-side pooling: level i associates

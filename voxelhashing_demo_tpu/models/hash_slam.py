@@ -34,6 +34,7 @@ class HashSLAMState(NamedTuple):
     pose: jnp.ndarray           # (4, 4) camera-to-world of last frame
     model: pre_ops.Frame        # raycast model maps in last camera frame
     frame_idx: jnp.ndarray      # () int32
+    vel: jnp.ndarray            # (4, 4) last tracked frame-to-frame motion
 
 
 class StepInfo(NamedTuple):
@@ -61,6 +62,7 @@ def create(config: PipelineConfig) -> HashSLAMState:
         pose=se3.identity(),
         model=empty,
         frame_idx=jnp.int32(0),
+        vel=se3.identity(),
     )
 
 
@@ -76,14 +78,33 @@ def step(
     frame = pre_ops.preprocess(depth_raw, cam, config.frontend)
 
     # --- track (frame-to-model) -------------------------------------------
+    # constant-velocity prior: start the GN iteration at last frame's
+    # tracked motion instead of identity — what keeps the linearization
+    # inside its basin under fast motion (no reference counterpart: the
+    # reference re-starts every Align at identity, CameraTracking.cpp:30)
     model_valid = jnp.sum(state.model.depth > 0) > 100
+    prior = state.vel if config.icp.use_motion_prior else None
     if len(config.icp.pyramid) > 1:
         result = icp_ops.icp_align_pyramid(
             frame.depth, state.model.depth, cam, config.icp,
-            src_full=frame, tgt_full=state.model,
+            src_full=frame, tgt_full=state.model, prior_T=prior,
         )
     else:
         result = icp_ops.icp_align(frame, state.model, cam, config.icp)
+        if prior is not None:
+            raced = icp_ops.icp_align(frame, state.model, cam, config.icp,
+                                      init_T=prior)
+            packed = icp_ops.pack_target(state.model)
+            sn, sd = icp_ops.alignment_score_sums(
+                raced.transform, frame, state.model, cam, config.icp,
+                packed)
+            bn, bd = icp_ops.alignment_score_sums(
+                result.transform, frame, state.model, cam, config.icp,
+                packed)
+            result = icp_ops.pick_by_score(
+                raced, result,
+                sn / jnp.maximum(sd, 1.0), bn / jnp.maximum(bd, 1.0),
+            )
     ok = model_valid & (result.count > 100) & jnp.all(
         jnp.isfinite(result.transform)
     )
@@ -136,6 +157,7 @@ def step(
         pose=pose_new,
         model=model,
         frame_idx=state.frame_idx + 1,
+        vel=T_rel,
     )
     info = StepInfo(
         pose=pose_new,

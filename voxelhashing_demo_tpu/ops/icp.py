@@ -283,6 +283,71 @@ def icp_align(
     return ICPResult(transform=T, error=err, count=count, iters=iters)
 
 
+def alignment_score_sums(
+    T: jnp.ndarray,
+    src: Frame,
+    tgt: Frame,
+    cam: CameraConfig,
+    cfg: ICPConfig,
+    tgt_packed: jnp.ndarray | None = None,
+):
+    """(sum, count) of a robust alignment cost of ``T`` on a COMMON domain.
+
+    ICP's per-inlier mean residual is NOT comparable between two candidate
+    transforms: their inlier sets differ, and on near-symmetric scenes a
+    wrong-basin solution can report a lower mean over fewer, self-selected
+    inliers.  This scores every source-valid pixel identically: clamped
+    |point-to-plane residual| where a target match exists, the full clamp
+    (dist_thresh) where the pixel projects off-screen or onto invalid
+    target — so losing correspondences costs, not pays.  The sharded twin
+    psums the two sums before dividing.
+    """
+    if tgt_packed is None:
+        tgt_packed = pack_target(tgt)
+    p = se3.apply(T, src.vertices)
+    ij, in_image = cam_geom.project_nearest(p, cam)
+    u = jnp.clip(ij[..., 0], 0, cam.width - 1)
+    v = jnp.clip(ij[..., 1], 0, cam.height - 1)
+    g = tgt_packed[v, u]
+    d_t = g[..., 0]
+    n_t = oct_decode_bits(g[..., 1])
+    p_t = jnp.stack(
+        [
+            (u.astype(jnp.float32) - cam.cx) / cam.fx * d_t,
+            (v.astype(jnp.float32) - cam.cy) / cam.fy * d_t,
+            d_t,
+        ],
+        axis=-1,
+    )
+    r = jnp.sum((p - p_t) * n_t, axis=-1)
+    src_valid = src.vertices[..., 2] != 0
+    matched = in_image & (d_t > 0)
+    cap = cfg.dist_thresh
+    pen = jnp.where(matched, jnp.minimum(jnp.abs(r), cap), cap)
+    num = jnp.sum(jnp.where(src_valid, pen, 0.0))
+    den = jnp.sum(src_valid.astype(jnp.float32))
+    return num, den
+
+
+def pick_by_score(
+    challenger: ICPResult,
+    base: ICPResult,
+    challenger_score: jnp.ndarray,
+    base_score: jnp.ndarray,
+) -> ICPResult:
+    """Choose between two raced ICP results by their common-domain
+    alignment scores (alignment_score_sums).  Ties and non-finite
+    challengers go to the base (identity-start) result."""
+    c_ok = (
+        jnp.all(jnp.isfinite(challenger.transform))
+        & jnp.isfinite(challenger_score)
+    )
+    take_c = c_ok & (challenger_score < base_score)
+    return jax.tree.map(
+        lambda x, y: jnp.where(take_c, x, y), challenger, base
+    )
+
+
 def icp_align_pyramid(
     depth_src_m: jnp.ndarray,
     depth_tgt_m: jnp.ndarray,
@@ -291,6 +356,7 @@ def icp_align_pyramid(
     init_T: jnp.ndarray | None = None,
     src_full: Frame | None = None,
     tgt_full: Frame | None = None,
+    prior_T: jnp.ndarray | None = None,
 ) -> ICPResult:
     """Coarse-to-fine ICP over a depth pyramid.
 
@@ -299,6 +365,14 @@ def icp_align_pyramid(
     Python iteration (each level jit-compiles once).  Pass ``src_full`` /
     ``tgt_full`` when full-resolution Frames are already preprocessed —
     the finest level then skips recomputing vertices/normals.
+
+    ``prior_T`` is an optional motion prior (constant-velocity predictor):
+    the COARSEST level runs twice, once from ``init_T`` (default identity)
+    and once from the prior, and the better result (pick_better) seeds the
+    finer levels.  Racing instead of trusting the prior is what makes it
+    safe: a naive always-prior start lands in wrong local minima of
+    symmetric scenes on direction reversals, while the race can only
+    improve on the identity start.  The extra cost is one coarse level.
     """
     import dataclasses
 
@@ -314,7 +388,7 @@ def icp_align_pyramid(
     pools = cfg.source_pools
     if len(pools) != len(levels):
         pools = (1,) * len(levels)
-    for factor, max_it, pool in zip(levels, iters, pools):
+    for li, (factor, max_it, pool) in enumerate(zip(levels, iters, pools)):
         lcam = cam.scaled(factor) if factor > 1 else cam
         lcfg = dataclasses.replace(cfg, max_iters=max_it)
         if factor > 1:
@@ -342,5 +416,16 @@ def icp_align_pyramid(
             src = (src_full if src_full is not None
                    else preprocess_metric(depth_src_m, lcam))
         result = icp_align(src, tgt, lcam, lcfg, init_T=T)
+        if li == 0 and prior_T is not None:
+            raced = icp_align(src, tgt, lcam, lcfg, init_T=prior_T)
+            packed = pack_target(tgt)
+            sn, sd = alignment_score_sums(raced.transform, src, tgt, lcam,
+                                          lcfg, packed)
+            bn, bd = alignment_score_sums(result.transform, src, tgt, lcam,
+                                          lcfg, packed)
+            result = pick_by_score(
+                raced, result,
+                sn / jnp.maximum(sd, 1.0), bn / jnp.maximum(bd, 1.0),
+            )
         T = result.transform
     return result

@@ -95,6 +95,7 @@ def _state_spec() -> HashSLAMState:
         pose=P(),
         model=Frame(vertices=P(AXIS), normals=P(AXIS), depth=P(AXIS)),
         frame_idx=P(),
+        vel=P(),
     )
 
 
@@ -124,6 +125,7 @@ def create_sharded(config: PipelineConfig, mesh: Mesh) -> HashSLAMState:
             pose=se3.identity(),
             model=empty,
             frame_idx=jnp.int32(0),
+            vel=se3.identity(),
         )
 
     return jax.jit(_init)()
@@ -193,9 +195,39 @@ def _icp_level_sharded(src_l: Frame, tgt_l: Frame, lcam, cfg, n: int,
     )
 
 
-def _icp_sharded(src: Frame, tgt_shard: Frame, cam, cfg, n: int):
+def _score_sharded(T, src_l: Frame, tgt_l: Frame, lcam, cfg, packed, n: int):
+    """Row-sharded alignment_score_sums, psum-reduced to replicated sums.
+
+    The psum is required for type soundness, not just speed: all_gather
+    outputs (the target pyramid) are device-VARYING in shard_map's
+    replication checker even though their values agree, so a plain jnp.sum
+    score would poison the raced-prior selection's replication inference.
+    """
+    h = src_l.depth.shape[0]
+    if h % n == 0:
+        i = jax.lax.axis_index(AXIS)
+        hh = h // n
+
+        def rows(x):
+            return jax.lax.dynamic_slice_in_dim(x, i * hh, hh, axis=0)
+
+        src_l = Frame(vertices=rows(src_l.vertices),
+                      normals=rows(src_l.normals), depth=rows(src_l.depth))
+        num, den = icp_ops.alignment_score_sums(
+            T, src_l, tgt_l, lcam, cfg, packed
+        )
+        return jax.lax.psum(num, AXIS), jax.lax.psum(den, AXIS)
+    num, den = icp_ops.alignment_score_sums(
+        T, src_l, tgt_l, lcam, cfg, packed
+    )
+    return jax.lax.psum(num, AXIS) / n, jax.lax.psum(den, AXIS) / n
+
+
+def _icp_sharded(src: Frame, tgt_shard: Frame, cam, cfg, n: int,
+                 prior_T=None):
     """Coarse-to-fine row-sharded point-to-plane ICP (the multi-chip twin
-    of ops.icp.icp_align_pyramid).
+    of ops.icp.icp_align_pyramid, including the raced constant-velocity
+    prior at the coarsest level).
 
     src arrives replicated; the target model arrives row-sharded and is
     all-gathered once (projective association can land a source point
@@ -218,7 +250,7 @@ def _icp_sharded(src: Frame, tgt_shard: Frame, cam, cfg, n: int):
 
     T = se3.identity()
     result = None
-    for factor, max_it, pool in zip(levels, iters, pools):
+    for li, (factor, max_it, pool) in enumerate(zip(levels, iters, pools)):
         lcam = cam.scaled(factor) if factor > 1 else cam
         sfactor = factor * pool  # source-side pooling (see ops/icp.py)
         d_s = (downsample_depth(src.depth, sfactor) if sfactor > 1
@@ -229,6 +261,21 @@ def _icp_sharded(src: Frame, tgt_shard: Frame, cam, cfg, n: int):
         )
         tgt_l = preprocess_metric(d_t, lcam)
         result = _icp_level_sharded(src_l, tgt_l, lcam, cfg, n, max_it, T)
+        if li == 0 and prior_T is not None:
+            raced = _icp_level_sharded(
+                src_l, tgt_l, lcam, cfg, n, max_it, prior_T
+            )
+            packed = icp_ops.pack_target(tgt_l)
+            sn, sd = _score_sharded(
+                raced.transform, src_l, tgt_l, lcam, cfg, packed, n
+            )
+            bn, bd = _score_sharded(
+                result.transform, src_l, tgt_l, lcam, cfg, packed, n
+            )
+            result = icp_ops.pick_by_score(
+                raced, result,
+                sn / jnp.maximum(sd, 1.0), bn / jnp.maximum(bd, 1.0),
+            )
         T = result.transform
     return result
 
@@ -324,7 +371,10 @@ def make_sharded_step(config: PipelineConfig, mesh: Mesh):
         model_valid = (
             jax.lax.psum(jnp.sum(state.model.depth > 0), AXIS) > 100
         )
-        result = _icp_sharded(frame, state.model, cam, config.icp, n)
+        result = _icp_sharded(
+            frame, state.model, cam, config.icp, n,
+            prior_T=state.vel if config.icp.use_motion_prior else None,
+        )
         ok = model_valid & (result.count > 100) & jnp.all(
             jnp.isfinite(result.transform)
         )
@@ -380,6 +430,7 @@ def make_sharded_step(config: PipelineConfig, mesh: Mesh):
             pose=pose_new,
             model=model,
             frame_idx=state.frame_idx + 1,
+            vel=T_rel,
         )
         info = StepInfo(
             pose=pose_new,

@@ -120,6 +120,9 @@ def load_slam(
             pose=leaf("state.pose"),
             model=model,
             frame_idx=leaf("state.frame_idx"),
+            # fields added after format v1 default sanely on old files
+            vel=(leaf("state.vel") if "state.vel" in z
+                 else jnp.eye(4, dtype=jnp.float32)),
         )
         slam.trajectory = (
             [jnp.asarray(p) for p in z["trajectory"]]

@@ -39,14 +39,42 @@ def scene_sdf(p: jnp.ndarray) -> jnp.ndarray:
     return jnp.minimum(jnp.minimum(d_sphere, d_box), jnp.minimum(d_wall, d_floor))
 
 
-@partial(jax.jit, static_argnames=("cam", "max_steps"))
+def room_sdf(p: jnp.ndarray) -> jnp.ndarray:
+    """Room-scale analytic scene: a 4 x 2 x 4 m room interior (+y down,
+    camera starts inside looking +z) furnished with a pillar, spheres and
+    boxes on every side — enough structure that a full 360-degree sweep
+    keeps ICP well-conditioned while the map grows to thousands of blocks
+    (the workload BASELINE configs 3/5 imply).  (..., 3) -> (...)."""
+
+    def box(center, half):
+        q = jnp.abs(p - jnp.array(center)) - jnp.array(half)
+        return jnp.linalg.norm(jnp.maximum(q, 0.0), axis=-1) + jnp.minimum(
+            jnp.max(q, axis=-1), 0.0
+        )
+
+    def sphere(center, r):
+        return jnp.linalg.norm(p - jnp.array(center), axis=-1) - r
+
+    d_room = -box([0.0, -0.2, 1.0], [2.0, 1.0, 2.0])   # interior
+    d = jnp.minimum(d_room, box([1.45, 0.15, 2.2], [0.25, 0.65, 0.25]))
+    d = jnp.minimum(d, sphere([-1.35, 0.45, 1.6], 0.35))
+    d = jnp.minimum(d, box([-0.9, 0.45, -0.35], [0.3, 0.35, 0.3]))
+    d = jnp.minimum(d, sphere([0.7, 0.5, -0.2], 0.3))
+    d = jnp.minimum(d, box([0.1, 0.65, 2.35], [0.5, 0.15, 0.3]))
+    d = jnp.minimum(d, sphere([1.5, 0.55, 0.4], 0.25))
+    return d
+
+
+@partial(jax.jit, static_argnames=("cam", "max_steps", "sdf"))
 def render_depth(
     T_wc: jnp.ndarray,
     cam: CameraConfig,
     max_steps: int = 128,
+    sdf=scene_sdf,
 ) -> jnp.ndarray:
-    """Sphere-trace the analytic scene from camera-to-world pose ``T_wc``;
-    returns metric z-depth (H, W), 0 where no hit within range."""
+    """Sphere-trace an analytic scene (``sdf``, a module-level function —
+    jit-static) from camera-to-world pose ``T_wc``; returns metric z-depth
+    (H, W), 0 where no hit within range."""
     rays_cam = cam_geom.pixel_rays(cam)
     R = T_wc[:3, :3]
     origin = T_wc[:3, 3]
@@ -56,7 +84,7 @@ def render_depth(
     def body(_, carry):
         t, hit = carry
         pos = origin + dirs * t[..., None]
-        s = scene_sdf(pos)
+        s = sdf(pos)
         hit = hit | (s < 1e-4)
         t = jnp.where(hit, t, t + jnp.maximum(s, 1e-4) * inv_len)
         return (t, hit)
@@ -96,6 +124,42 @@ def orbit_pose(t: float, trans_amp: float = 0.15, rot_amp_deg: float = 6.0) -> n
     )
     xi = jnp.asarray(np.concatenate([v, w]), dtype=jnp.float32)
     return np.asarray(se3.exp(xi))
+
+
+def make_ramp_sequence(
+    cam: CameraConfig,
+    num_frames: int,
+    max_trans_step: float = 0.04,
+    max_rot_step_deg: float = 2.0,
+    as_raw: bool = True,
+):
+    """Accelerating-motion sequence: per-frame motion ramps linearly from
+    ~0 up to (max_trans_step m, max_rot_step_deg deg) along a FIXED screw
+    direction.  The hard case for identity-initialized ICP (per-frame
+    motion eventually exceeds its convergence basin) and the canonical
+    demonstration of the constant-velocity prior, whose prediction error
+    is only the per-frame acceleration."""
+    v_dir = np.array([0.7, 0.25, 0.35])
+    v_dir /= np.linalg.norm(v_dir)
+    w_dir = np.array([0.15, 1.0, 0.1])
+    w_dir /= np.linalg.norm(w_dir)
+    depths, poses = [], []
+    T = np.eye(4, dtype=np.float32)
+    for i in range(num_frames):
+        if i > 0:
+            ramp = i / max(num_frames - 1, 1)
+            xi = np.concatenate(
+                [
+                    ramp * max_trans_step * v_dir,
+                    ramp * np.deg2rad(max_rot_step_deg) * w_dir,
+                ]
+            )
+            delta = np.asarray(se3.exp(jnp.asarray(xi, dtype=jnp.float32)))
+            T = T @ delta
+        d = render_depth(jnp.asarray(T), cam)
+        depths.append(depth_to_raw(d, cam) if as_raw else d)
+        poses.append(T.copy())
+    return depths, poses
 
 
 def make_sequence(
