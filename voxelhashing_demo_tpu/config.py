@@ -59,6 +59,13 @@ class FrontendConfig:
     bilateral_radius: int = 2
     bilateral_sigma_space: float = 1.5   # pixels
     bilateral_sigma_depth: float = 0.03  # meters
+    # flying-pixel rejection (ops/preprocess.reject_outliers): keep a
+    # sample only if >= min_support of its 8 neighbors agree within
+    # band_base + band_quad * z^2 meters
+    outlier_reject: bool = False
+    outlier_band_base: float = 0.03
+    outlier_band_quad: float = 0.007
+    outlier_min_support: int = 3
 
 
 @dataclasses.dataclass(frozen=True)

@@ -104,6 +104,60 @@ def depth_to_raw(depth_m: jnp.ndarray, cam: CameraConfig) -> jnp.ndarray:
     return jnp.round(depth_m * cam.depth_scale).astype(jnp.uint16)
 
 
+@jax.jit
+def add_sensor_noise(depth_m: jnp.ndarray, key: jnp.ndarray) -> jnp.ndarray:
+    """Kinect-class sensor noise on clean metric depth.
+
+    The reference's entire workload is real Kinect/TUM depth (reference:
+    common.h:7-18 TUM fr1 intrinsics, CameraTrackingUtils.cu:64 the 5000
+    units/m convention) but it ships no data; this models the sensor so the
+    analytic scenes exercise the robust frontend the way fr1 frames would:
+
+    - **Axial noise** sigma(z) = 1.2 mm + 1.9 mm * (z - 0.4)^2 — the
+      Kinect axial-error fit of Nguyen, Izadi & Lovell 2012 (quadratic in
+      depth, as the disparity model of Khoshelham & Elberink 2012 predicts).
+    - **Edge dropout**: pixels whose 3x3 neighborhood spans a depth
+      discontinuity (> 10 cm) drop out with high probability — the
+      structured-light shadowing that fringes every TUM object.
+    - **Random dropout** (~1 %) — dead/low-confidence pixels.
+    - **Outliers** (~0.2 %): flying pixels resampled uniformly in range.
+    - Quantization to uint16 / 5000 happens in ``depth_to_raw`` as before.
+
+    Returns metric depth with 0 = invalid.  Deterministic in ``key``.
+    """
+    sigma_base, sigma_quad = 1.2e-3, 1.9e-3
+    edge_band, p_edge = 0.10, 0.8
+    p_drop, p_outlier = 0.01, 0.002
+    k_ax, k_edge, k_drop, k_out, k_outz = jax.random.split(key, 5)
+
+    valid = depth_m > 0
+    z = depth_m
+    sigma = sigma_base + sigma_quad * jnp.square(jnp.maximum(z - 0.4, 0.0))
+    z = z + sigma * jax.random.normal(k_ax, z.shape, dtype=jnp.float32)
+
+    # 3x3 local depth range on the CLEAN depth (invalid pixels count as
+    # discontinuity too: a valid pixel beside a hole is an edge pixel)
+    big = jnp.where(valid, depth_m, jnp.inf)
+    mn = -jax.lax.reduce_window(
+        -big, -jnp.inf, jax.lax.max, (3, 3), (1, 1), "SAME"
+    )
+    mx = jax.lax.reduce_window(
+        jnp.where(valid, depth_m, -jnp.inf), -jnp.inf, jax.lax.max,
+        (3, 3), (1, 1), "SAME",
+    )
+    at_edge = ~jnp.isfinite(mn) | ((mx - mn) > edge_band)
+
+    u_edge = jax.random.uniform(k_edge, z.shape)
+    u_drop = jax.random.uniform(k_drop, z.shape)
+    drop = (at_edge & (u_edge < p_edge)) | (u_drop < p_drop)
+
+    u_out = jax.random.uniform(k_out, z.shape)
+    z_out = jax.random.uniform(k_outz, z.shape, minval=0.4, maxval=4.0)
+    z = jnp.where(u_out < p_outlier, z_out, z)
+
+    return jnp.where(valid & ~drop, jnp.maximum(z, 0.0), 0.0)
+
+
 def orbit_pose(t: float, trans_amp: float = 0.15, rot_amp_deg: float = 6.0) -> np.ndarray:
     """Smooth ground-truth trajectory: slow sway + look-rotation, phase t in
     [0, 1].  Returned as numpy (host-side trajectory generation)."""
@@ -168,15 +222,75 @@ def make_sequence(
     trans_amp: float = 0.12,
     rot_amp_deg: float = 5.0,
     as_raw: bool = True,
+    noise_seed: int | None = None,
 ):
     """Generate (depths, poses): a synthetic depth sequence and its exact
     camera-to-world ground truth.  depths is a list of (H, W) arrays
-    (uint16 raw if as_raw else float32 meters); poses a list of (4, 4)."""
+    (uint16 raw if as_raw else float32 meters); poses a list of (4, 4).
+    ``noise_seed`` applies the Kinect-class sensor model (add_sensor_noise)
+    per frame."""
     depths, poses = [], []
+    key = None if noise_seed is None else jax.random.PRNGKey(noise_seed)
     for i in range(num_frames):
         t = i / max(num_frames - 1, 1)
         T = orbit_pose(t, trans_amp, rot_amp_deg)
         d = render_depth(jnp.asarray(T), cam)
+        if key is not None:
+            key, sub = jax.random.split(key)
+            d = add_sensor_noise(d, sub)
         depths.append(depth_to_raw(d, cam) if as_raw else d)
         poses.append(T)
+    return depths, poses
+
+
+def _rot_y(a: float) -> np.ndarray:
+    c, s = np.cos(a), np.sin(a)
+    return np.array([[c, 0.0, s], [0.0, 1.0, 0.0], [-s, 0.0, c]])
+
+
+def room_sweep_pose(t: float, sweep_deg: float = 360.0,
+                    orbit_radius: float = 0.5, bob: float = 0.08
+                    ) -> np.ndarray:
+    """Camera-to-world pose at phase t in [0, 1] of a room-scale sweep:
+    the camera circles the center of ``room_sdf``'s room on a small orbit,
+    yawing with the orbit so it always faces across the room, with a
+    gentle vertical bob for full 6-dof excitation."""
+    a = np.deg2rad(sweep_deg) * t
+    R = _rot_y(a)
+    center = np.array([0.0, -0.05, 1.0])   # mid-room (+y is down)
+    # camera sits behind the center along its own -z, so it looks across
+    pos = center - orbit_radius * (R @ np.array([0.0, 0.0, 1.0]))
+    pos[1] += bob * np.sin(2 * a)
+    T = np.eye(4, dtype=np.float32)
+    T[:3, :3] = R
+    T[:3, 3] = pos
+    return T
+
+
+def make_room_sweep(
+    cam: CameraConfig,
+    num_frames: int,
+    sweep_deg: float = 360.0,
+    as_raw: bool = True,
+    noise_seed: int | None = None,
+):
+    """Room-scale growing-map workload (BASELINE configs 3/5 regime): a
+    ``sweep_deg`` pan of ``room_sdf`` from a small central orbit.  The map
+    grows for the whole sweep (new walls keep entering the frustum), unlike
+    ``make_sequence`` whose scene is fully observed after a few frames.
+    With ``noise_seed``, frames carry Kinect-class sensor noise.
+
+    Returned poses are FIRST-CAMERA-relative (pose[0] == I), matching the
+    SLAM convention that the world frame is the first camera frame."""
+    depths, poses = [], []
+    key = None if noise_seed is None else jax.random.PRNGKey(noise_seed)
+    T0_inv = np.linalg.inv(room_sweep_pose(0.0, sweep_deg))
+    for i in range(num_frames):
+        T = room_sweep_pose(i / max(num_frames, 1), sweep_deg)
+        d = render_depth(jnp.asarray(T), cam, sdf=room_sdf)
+        if key is not None:
+            key, sub = jax.random.split(key)
+            d = add_sensor_noise(d, sub)
+        depths.append(depth_to_raw(d, cam) if as_raw else d)
+        poses.append((T0_inv @ T).astype(np.float32))
     return depths, poses
