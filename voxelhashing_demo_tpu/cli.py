@@ -31,12 +31,13 @@ import numpy as np
 
 def _default_config(args) -> "PipelineConfig":
     from .config import (CameraConfig, GCConfig, HashConfig, ICPConfig,
-                         PipelineConfig)
+                         PipelineConfig, StreamConfig)
 
     cam = CameraConfig()
     if args.small:
         cam = CameraConfig(width=160, height=120, fx=129.3, fy=129.1,
                            cx=79.65, cy=59.8)
+    stream = StreamConfig(enabled=bool(getattr(args, "stream", False)))
     return PipelineConfig(
         camera=cam,
         icp=ICPConfig(pyramid=(4, 2, 1), pyramid_iters=(10, 5, 4)),
@@ -44,6 +45,7 @@ def _default_config(args) -> "PipelineConfig":
                         max_active=4096, max_new_per_frame=4096,
                         candidate_stride=2),
         gc=GCConfig(enabled=True, interval=8),
+        stream=stream,
     )
 
 
@@ -188,6 +190,12 @@ def cmd_run(args) -> None:
         result["ate_rmse_m"] = round(
             metrics.ate_rmse(trajectory, [np.asarray(p) for p in gt]), 5
         )
+    if getattr(slam, "store", None) is not None:
+        result["stream"] = {
+            "stored_blocks": len(slam.store),
+            "evicted": slam.store.total_evicted,
+            "restored": slam.store.total_restored,
+        }
     if args.backend == "keyframe":
         result["keyframes"] = len(slam.keyframes)
         result["graph_edges"] = int(slam.graph.num_edges)
@@ -315,6 +323,9 @@ def build_parser() -> argparse.ArgumentParser:
                    default="hash")
     r.add_argument("--devices", type=int, default=1,
                    help="shard the map over this many devices (pjit mesh)")
+    r.add_argument("--stream", action="store_true",
+                   help="out-of-frustum block streaming to a host store "
+                        "(scene size bounded by host RAM, not num_blocks)")
     r.add_argument("--out", default="run_out")
     r.add_argument("--checkpoint", default="map.npz",
                    help="checkpoint filename (empty to skip)")

@@ -204,6 +204,32 @@ class GCConfig:
     interval: int = 8              # run GC every N frames
     min_weight: float = 0.5        # blocks whose max weight < this are freed
     max_blocks_per_gc: int = 1024
+    # protect blocks seen within the last min_age frames: truncation-band
+    # blocks that never receive a sample otherwise churn alloc/free/realloc
+    # every GC interval for as long as they stay visible
+    min_age: int = 16
+
+
+@dataclasses.dataclass(frozen=True)
+class StreamConfig:
+    """Out-of-frustum block streaming: evict long-unseen blocks to a host
+    BlockStore, restore them when the camera revisits.
+
+    What the original VoxelHashing paper's GPU<->host streaming did and the
+    reference's dead deleteVoxelEntry (VoxelUtils.cu:544-604) could not —
+    it discards data.  With streaming the reconstructable scene is bounded
+    by host memory, not by ``num_blocks`` (which only needs to hold the
+    working set).  Device<->host traffic is padded batched transfers every
+    ``interval`` frames; see models/hash_slam.HashSLAM and
+    utils/blockstore.py.
+    """
+
+    enabled: bool = False
+    interval: int = 8              # evict scan every N frames
+    max_age: int = 30              # frames out of frustum before eviction
+    max_evict: int = 2048          # eviction batch (padded transfer size)
+    max_restore: int = 2048        # restore batch (padded transfer size)
+    restore_margin_px: float = 64.0  # extra frustum slack for restore query
 
 
 @dataclasses.dataclass(frozen=True)
@@ -239,6 +265,7 @@ class PipelineConfig:
     raycast: RaycastConfig = RaycastConfig()
     gc: GCConfig = GCConfig()
     keyframes: KeyframeConfig = KeyframeConfig()
+    stream: StreamConfig = StreamConfig()
 
 
 def tiny_config() -> PipelineConfig:

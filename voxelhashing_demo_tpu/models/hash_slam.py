@@ -116,7 +116,8 @@ def step(
     if config.gc.enabled:
         def run_gc(m):
             return hash_ops.garbage_collect(
-                m, hcfg, config.gc.min_weight, config.gc.max_blocks_per_gc
+                m, hcfg, config.gc.min_weight, config.gc.max_blocks_per_gc,
+                frame_idx=state.frame_idx, min_age=config.gc.min_age,
             )
 
         def no_gc(m):
@@ -131,7 +132,8 @@ def step(
 
     # --- map update: alloc -> compact -> integrate ------------------------
     hmap, active, n_alloc = hash_ops.fuse_frame(
-        hmap, frame, pose_new, cam, hcfg, config.fusion
+        hmap, frame, pose_new, cam, hcfg, config.fusion,
+        frame_idx=state.frame_idx,
     )
 
     # --- surface prediction for the next frame's tracking ------------------
@@ -202,8 +204,41 @@ def make_scan_step(config: PipelineConfig):
     return jax.jit(chunk, donate_argnums=0)
 
 
+def make_evict(config: PipelineConfig):
+    """Jitted eviction scan (state donated): pops blocks unseen for
+    stream.max_age frames out of the map as a padded payload batch."""
+    s = config.stream
+
+    def evict(hmap, frame_idx):
+        return hash_ops.evict_stale(
+            hmap, config.hash, frame_idx, s.max_age, s.max_evict
+        )
+
+    return jax.jit(evict, donate_argnums=0)
+
+
+def make_restore(config: PipelineConfig):
+    """Jitted restore (state donated): re-inserts a padded batch of stored
+    blocks with their payload; returns (map, accepted mask)."""
+
+    def restore(hmap, keys, tsdf, weight, frame_idx):
+        return hash_ops.restore_blocks(
+            hmap, config.hash, keys, tsdf, weight, frame_idx,
+            max_weight=config.fusion.max_weight,
+        )
+
+    return jax.jit(restore, donate_argnums=0)
+
+
 class HashSLAM:
-    """Host-side convenience wrapper accumulating the trajectory."""
+    """Host-side convenience wrapper accumulating the trajectory.
+
+    With ``config.stream.enabled`` the wrapper also runs the out-of-core
+    streaming loop around the jitted step: before each frame it restores
+    stored blocks entering the predicted frustum (pose @ vel), and every
+    ``stream.interval`` frames it evicts blocks unseen for
+    ``stream.max_age`` frames into the host BlockStore.
+    """
 
     def __init__(self, config: PipelineConfig):
         self.config = config
@@ -212,17 +247,84 @@ class HashSLAM:
         self._scan_step = None  # built lazily by process_chunk
         self.trajectory = []
         self.infos = []
+        self.store = None
+        if config.stream.enabled:
+            from ..utils.blockstore import BlockStore
+
+            self.store = BlockStore(config.hash)
+            self._evict = make_evict(config)
+            self._restore = make_restore(config)
+
+    def _stream_restore(self):
+        """Restore stored blocks entering the predicted next frustum."""
+        import numpy as np
+
+        s = self.config.stream
+        if not len(self.store):
+            return
+        pose = np.asarray(self.state.pose)
+        vel = np.asarray(self.state.vel)
+        keys = self.store.query_frustum(
+            pose @ vel, self.config.camera, self.config.fusion,
+            s.restore_margin_px, s.max_restore,
+        )
+        if keys.size == 0:
+            return
+        tsdf, weight = self.store.rows_for(keys)
+        pad = s.max_restore - keys.shape[0]
+        from ..geometry.coords import EMPTY_KEY
+
+        V = self.config.hash.voxels_per_block
+        keys_p = np.concatenate(
+            [keys, np.full(pad, EMPTY_KEY, dtype=np.int32)]
+        )
+        tsdf_p = np.concatenate(
+            [tsdf, np.zeros((pad, V), np.float32)]
+        )
+        weight_p = np.concatenate(
+            [weight, np.zeros((pad, V), np.float32)]
+        )
+        hmap, accepted = self._restore(
+            self.state.hmap, jnp.asarray(keys_p), jnp.asarray(tsdf_p),
+            jnp.asarray(weight_p), self.state.frame_idx,
+        )
+        self.state = self.state._replace(hmap=hmap)
+        self.store.take(keys, np.asarray(accepted)[: keys.shape[0]])
+
+    def _stream_evict(self):
+        import numpy as np
+
+        hmap, keys, tsdf, weight, n = self._evict(
+            self.state.hmap, self.state.frame_idx
+        )
+        self.state = self.state._replace(hmap=hmap)
+        if int(n) > 0:
+            self.store.add(
+                np.asarray(keys), np.asarray(tsdf), np.asarray(weight)
+            )
 
     def process(self, depth_raw) -> StepInfo:
+        streaming = self.store is not None
+        if streaming:
+            self._stream_restore()
         self.state, info = self._step(self.state, jnp.asarray(depth_raw))
         self.trajectory.append(info.pose)
         self.infos.append(info)
+        if streaming:
+            # host-side frame count: no device sync to decide the cadence
+            if len(self.trajectory) % self.config.stream.interval == 0:
+                self._stream_evict()
         return info
 
     def process_chunk(self, depths_raw) -> StepInfo:
         """Process a stacked (K, H, W) chunk of frames in ONE device
         dispatch (jitted ``lax.scan``); per-frame results are identical to
-        K ``process`` calls.  Returns the stacked StepInfo."""
+        K ``process`` calls.  Returns the stacked StepInfo.
+
+        With streaming enabled, restore/evict run at chunk boundaries
+        (the in-chunk frames share one restore prediction)."""
+        if self.store is not None:
+            self._stream_restore()
         if self._scan_step is None:
             self._scan_step = make_scan_step(self.config)
         self.state, infos = self._scan_step(
@@ -232,6 +334,8 @@ class HashSLAM:
         for i in range(k):
             self.trajectory.append(infos.pose[i])
             self.infos.append(jax.tree.map(lambda x, i=i: x[i], infos))
+        if self.store is not None:
+            self._stream_evict()
         return infos
 
     def render(self, pose=None) -> rc_ops.RaycastOutput:

@@ -64,6 +64,7 @@ class HashMap(NamedTuple):
     free_top: jnp.ndarray     # () int32 number of free rows
     tsdf: jnp.ndarray         # [num_blocks, 512] float32
     weight: jnp.ndarray       # [num_blocks, 512] float32
+    last_seen: jnp.ndarray    # [num_blocks] int32 frame idx last in frustum
 
 
 class ActiveSet(NamedTuple):
@@ -87,6 +88,7 @@ def create(cfg: HashConfig) -> HashMap:
         free_top=jnp.int32(cfg.num_blocks),
         tsdf=jnp.zeros((cfg.num_blocks, V), dtype=jnp.float32),
         weight=jnp.zeros((cfg.num_blocks, V), dtype=jnp.float32),
+        last_seen=jnp.zeros((cfg.num_blocks,), dtype=jnp.int32),
     )
 
 
@@ -201,7 +203,8 @@ def _unique_compact(keys: jnp.ndarray, max_out: int) -> jnp.ndarray:
 
 
 def insert_blocks(
-    hmap: HashMap, cfg: HashConfig, cand_keys: jnp.ndarray, bucket_fn=None
+    hmap: HashMap, cfg: HashConfig, cand_keys: jnp.ndarray, bucket_fn=None,
+    frame_idx: jnp.ndarray | int = 0,
 ) -> Tuple[HashMap, jnp.ndarray]:
     """Insert up to max_new unique candidate keys; returns (map, n_inserted).
 
@@ -209,6 +212,11 @@ def insert_blocks(
     (reference: VoxelUtils.cu:417-541): bucket ranks come from a segmented
     scan over bucket-sorted keys, heap slots from a cumsum over the free
     stack, so the same frame always allocates the same blocks.
+
+    ``frame_idx`` stamps last_seen on the new rows: freshly allocated
+    blocks count as seen now, which protects them from GC churn (alloc ->
+    free -> re-alloc of truncation-band blocks that never receive a
+    sample) until they genuinely age out of view.
     """
     bucket_fn = bucket_fn or default_bucket_fn(cfg)
     uniq = _unique_compact(cand_keys, cfg.max_new_per_frame)
@@ -269,6 +277,9 @@ def insert_blocks(
     row_idx = jnp.where(ok, new_ptrs, hmap.tsdf.shape[0])
     tsdf = hmap.tsdf.at[row_idx].set(0.0, mode="drop")
     weight = hmap.weight.at[row_idx].set(0.0, mode="drop")
+    last_seen = hmap.last_seen.at[row_idx].set(
+        jnp.int32(frame_idx), mode="drop"
+    )
 
     return (
         hmap._replace(
@@ -278,6 +289,7 @@ def insert_blocks(
             free_top=hmap.free_top - n_alloc,
             tsdf=tsdf,
             weight=weight,
+            last_seen=last_seen,
         ),
         n_alloc,
     )
@@ -483,28 +495,14 @@ def integrate(
 # garbage collection (free stale blocks)
 # --------------------------------------------------------------------------
 
-def garbage_collect(
-    hmap: HashMap,
-    cfg: HashConfig,
-    min_weight: float,
-    max_free: int,
-) -> Tuple[HashMap, jnp.ndarray]:
-    """Free blocks whose maximum voxel weight is below ``min_weight``.
-
-    Implements what the reference's dead deleteVoxelEntry intended
-    (VoxelUtils.cu:544-604) as a whole-table batched op: mark, re-compact
-    every bucket's slots (preserving the prefix invariant), push freed rows
-    back on the stack.  Returns (map, n_freed).
-    """
+def _free_marked(
+    hmap: HashMap, cfg: HashConfig, stale: jnp.ndarray, max_free: int
+) -> Tuple[HashMap, jnp.ndarray, jnp.ndarray]:
+    """Free up to ``max_free`` of the marked table slots: push their rows
+    back on the stack, clear the entries, re-compact every bucket's slots
+    to a prefix.  Returns (map, freeing_mask (T,), n_freed).  Shared tail
+    of garbage_collect and evict_stale."""
     T = hmap.keys.shape[0]
-    allocated = hmap.ptrs != FREE_PTR
-    safe_ptr = jnp.clip(hmap.ptrs, 0, hmap.tsdf.shape[0] - 1)
-    # per-row max first (streaming reduce), then a scalar gather per slot —
-    # gathering whole rows per table slot would read the map many times over
-    row_max_w = jnp.max(hmap.weight, axis=-1)              # (num_blocks,)
-    block_w = row_max_w[safe_ptr]                          # (T,)
-    stale = allocated & (block_w < min_weight)
-
     # cap the number freed per call (bounds the free-stack scatter)
     stale_rank = jnp.cumsum(stale.astype(jnp.int32)) - 1
     freeing = stale & (stale_rank < max_free)
@@ -539,7 +537,212 @@ def garbage_collect(
             free_list=free_list,
             free_top=hmap.free_top + n_free,
         ),
+        freeing,
         n_free,
+    )
+
+
+def garbage_collect(
+    hmap: HashMap,
+    cfg: HashConfig,
+    min_weight: float,
+    max_free: int,
+    frame_idx: jnp.ndarray | int | None = None,
+    min_age: int = 0,
+) -> Tuple[HashMap, jnp.ndarray]:
+    """Free blocks whose maximum voxel weight is below ``min_weight``.
+
+    Implements what the reference's dead deleteVoxelEntry intended
+    (VoxelUtils.cu:544-604) as a whole-table batched op: mark, re-compact
+    every bucket's slots (preserving the prefix invariant), push freed rows
+    back on the stack.  Returns (map, n_freed).
+
+    With ``frame_idx``/``min_age``, blocks seen within the last ``min_age``
+    frames are protected: truncation-band blocks that never receive a
+    sample otherwise churn (freed every GC, re-allocated next frame) for
+    as long as they stay in view.
+    """
+    allocated = hmap.ptrs != FREE_PTR
+    safe_ptr = jnp.clip(hmap.ptrs, 0, hmap.tsdf.shape[0] - 1)
+    # per-row max first (streaming reduce), then a scalar gather per slot —
+    # gathering whole rows per table slot would read the map many times over
+    row_max_w = jnp.max(hmap.weight, axis=-1)              # (num_blocks,)
+    block_w = row_max_w[safe_ptr]                          # (T,)
+    stale = allocated & (block_w < min_weight)
+    if frame_idx is not None and min_age > 0:
+        age = jnp.int32(frame_idx) - hmap.last_seen[safe_ptr]
+        stale = stale & (age >= min_age)
+
+    hmap, _, n_free = _free_marked(hmap, cfg, stale, max_free)
+    return hmap, n_free
+
+
+def touch_active(
+    hmap: HashMap, active: ActiveSet, frame_idx: jnp.ndarray | int
+) -> HashMap:
+    """Stamp the visible set's rows with the current frame index (the
+    recency signal eviction and GC-protection key on)."""
+    row_idx = jnp.where(
+        active.ptrs != FREE_PTR, active.ptrs, hmap.last_seen.shape[0]
+    )
+    return hmap._replace(
+        last_seen=hmap.last_seen.at[row_idx].set(
+            jnp.int32(frame_idx), mode="drop"
+        )
+    )
+
+
+def evict_stale(
+    hmap: HashMap,
+    cfg: HashConfig,
+    frame_idx: jnp.ndarray | int,
+    max_age: int,
+    max_evict: int,
+) -> Tuple[HashMap, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Evict blocks out of the frustum for more than ``max_age`` frames:
+    copy their payload out and free them.
+
+    Returns (map, keys (max_evict,), tsdf (max_evict, V), weight
+    (max_evict, V), n_evicted); key EMPTY_KEY marks padding.  The host
+    moves the payload into a BlockStore (utils/blockstore.py) and restores
+    it on revisit — the out-of-core streaming the reference's fixed-size
+    GPU hash could not do (its dead deleteVoxelEntry, VoxelUtils.cu:544-604,
+    DISCARDS data; the original VoxelHashing paper's GPU<->host streaming
+    is the design this implements, recast as padded batched transfers).
+
+    Unlike garbage_collect this keeps well-observed geometry: weight does
+    not gate eviction, only recency does.
+    """
+    allocated = hmap.ptrs != FREE_PTR
+    safe_ptr = jnp.clip(hmap.ptrs, 0, hmap.tsdf.shape[0] - 1)
+    age = jnp.int32(frame_idx) - hmap.last_seen[safe_ptr]
+    stale = allocated & (age > max_age)
+
+    # rank BEFORE freeing so payload gather indices match _free_marked's cap
+    hmap2, freeing, n_evict = _free_marked(hmap, cfg, stale, max_evict)
+
+    # gather the evicted payload from the PRE-free map (rows untouched by
+    # _free_marked — freeing only edits table/stack metadata)
+    rank = jnp.cumsum(freeing.astype(jnp.int32)) - 1
+    out_idx = jnp.where(freeing, rank, max_evict)
+    out_keys = jnp.full((max_evict + 1,), EMPTY_KEY, dtype=jnp.int32)
+    out_keys = out_keys.at[out_idx].set(hmap.keys, mode="drop")[:max_evict]
+    out_ptrs = jnp.zeros((max_evict + 1,), dtype=jnp.int32)
+    out_ptrs = out_ptrs.at[out_idx].set(safe_ptr, mode="drop")[:max_evict]
+    out_tsdf = hmap.tsdf[out_ptrs]                       # (max_evict, V)
+    out_weight = hmap.weight[out_ptrs]
+    pad = out_keys == EMPTY_KEY
+    out_tsdf = jnp.where(pad[:, None], 0.0, out_tsdf)
+    out_weight = jnp.where(pad[:, None], 0.0, out_weight)
+    return hmap2, out_keys, out_tsdf, out_weight, n_evict
+
+
+def restore_blocks(
+    hmap: HashMap,
+    cfg: HashConfig,
+    keys: jnp.ndarray,          # (R,) unique packed keys; EMPTY_KEY pad
+    tsdf_rows: jnp.ndarray,     # (R, V)
+    weight_rows: jnp.ndarray,   # (R, V)
+    frame_idx: jnp.ndarray | int,
+    bucket_fn=None,
+    max_weight: float = 255.0,
+) -> Tuple[HashMap, jnp.ndarray]:
+    """Re-insert evicted blocks with their stored payload.
+
+    Keys not in the table are inserted and their rows written verbatim
+    (bit-exact restore).  Keys already present — the block was re-allocated
+    fresh after eviction because the camera revisited before the store's
+    frustum prediction fired — are weight-MERGED (Curless-Levoy combine of
+    the two weighted averages), the same merge VoxelHashing's host<->GPU
+    chunk streaming performs.  Returns (map, accepted (R,) bool): accepted
+    keys are now fully on-device and the host must drop its copy; rejected
+    ones (bucket overflow / heap exhaustion) stay in the store for retry.
+    """
+    bucket_fn = bucket_fn or default_bucket_fn(cfg)
+    R = keys.shape[0]
+    N = hmap.tsdf.shape[0]
+
+    ptr_found, found = lookup_keys(hmap, cfg, keys, bucket_fn)
+
+    # --- merge payload into rows that already exist ------------------------
+    m_ptr = jnp.clip(ptr_found, 0, N - 1)
+    old_t = hmap.tsdf[m_ptr]
+    old_w = hmap.weight[m_ptr]
+    w_sum = old_w + weight_rows
+    merged_t = jnp.where(
+        weight_rows > 0,
+        (old_t * old_w + tsdf_rows * weight_rows)
+        / jnp.maximum(w_sum, 1e-12),
+        old_t,
+    )
+    merged_w = jnp.minimum(w_sum, jnp.float32(max_weight))
+    m_idx = jnp.where(found, ptr_found, N)
+    tsdf = hmap.tsdf.at[m_idx].set(merged_t, mode="drop")
+    weight = hmap.weight.at[m_idx].set(
+        jnp.where(found[:, None], merged_w, old_w), mode="drop"
+    )
+    hmap = hmap._replace(tsdf=tsdf, weight=weight)
+
+    # --- insert the genuinely new keys, payload following the sort ---------
+    want = (keys != EMPTY_KEY) & ~found
+    blocks = coords.unpack_block_key(keys, cfg.key_bits)
+    bucket = jnp.where(want, bucket_fn(blocks), cfg.num_buckets)
+    order = jnp.argsort(bucket)
+    b_sorted = bucket[order]
+    keys_sorted = keys[order]
+
+    pos = jnp.arange(R, dtype=jnp.int32)
+    seg_start = jnp.concatenate(
+        [jnp.array([True]), b_sorted[1:] != b_sorted[:-1]]
+    )
+    start_pos = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(seg_start, pos, 0)
+    )
+    rank_sorted = pos - start_pos
+    valid_sorted = b_sorted < cfg.num_buckets
+
+    fill_sorted = hmap.bucket_fill[jnp.clip(b_sorted, 0, cfg.num_buckets - 1)]
+    slot_sorted = fill_sorted + rank_sorted
+    ok = valid_sorted & (slot_sorted < cfg.bucket_size)
+    alloc_rank = jnp.cumsum(ok.astype(jnp.int32)) - 1
+    ok = ok & (alloc_rank < hmap.free_top)
+    n_alloc = jnp.sum(ok.astype(jnp.int32))
+
+    new_ptrs = hmap.free_list[
+        jnp.clip(hmap.free_top - 1 - alloc_rank, 0, hmap.free_list.shape[0] - 1)
+    ]
+    table_idx = jnp.where(
+        ok,
+        jnp.clip(b_sorted, 0, cfg.num_buckets - 1) * cfg.bucket_size
+        + jnp.clip(slot_sorted, 0, cfg.bucket_size - 1),
+        hmap.keys.shape[0],
+    )
+    keys_new = hmap.keys.at[table_idx].set(keys_sorted, mode="drop")
+    ptrs_new = hmap.ptrs.at[table_idx].set(new_ptrs, mode="drop")
+    fill_add_idx = jnp.where(ok, b_sorted, cfg.num_buckets)
+    bucket_fill = hmap.bucket_fill.at[fill_add_idx].add(1, mode="drop")
+
+    row_idx = jnp.where(ok, new_ptrs, N)
+    tsdf = hmap.tsdf.at[row_idx].set(tsdf_rows[order], mode="drop")
+    weight = hmap.weight.at[row_idx].set(weight_rows[order], mode="drop")
+    last_seen = hmap.last_seen.at[row_idx].set(
+        jnp.int32(frame_idx), mode="drop"
+    )
+
+    # accepted mask back in input order: inserted-now OR merged-into-existing
+    ok_in = jnp.zeros((R,), dtype=bool).at[order].set(ok)
+    accepted = ok_in | (found & (keys != EMPTY_KEY))
+    return (
+        hmap._replace(
+            keys=keys_new,
+            ptrs=ptrs_new,
+            bucket_fill=bucket_fill,
+            free_top=hmap.free_top - n_alloc,
+            tsdf=tsdf,
+            weight=weight,
+            last_seen=last_seen,
+        ),
+        accepted,
     )
 
 
@@ -555,10 +758,11 @@ def allocate_from_frame(
     cfg: HashConfig,
     fusion: FusionConfig,
     bucket_fn=None,
+    frame_idx: jnp.ndarray | int = 0,
 ) -> Tuple[HashMap, jnp.ndarray]:
     """Per-frame allocation (reference: allocBlocks, VoxelUtils.cu:708-716)."""
     cand = frame_candidate_keys(frame, T_wc, cam, cfg, fusion)
-    return insert_blocks(hmap, cfg, cand, bucket_fn)
+    return insert_blocks(hmap, cfg, cand, bucket_fn, frame_idx)
 
 
 def fuse_frame(
@@ -568,11 +772,16 @@ def fuse_frame(
     cam: CameraConfig,
     cfg: HashConfig,
     fusion: FusionConfig,
+    frame_idx: jnp.ndarray | int = 0,
 ) -> Tuple[HashMap, ActiveSet, jnp.ndarray]:
     """alloc -> compact -> integrate: the reference's per-frame
     ``SDF_Hashtable::integrate`` sequence (SDF_Hashtable.cpp:11-40) as one
-    fused on-device computation.  Returns (map, active_set, n_allocated)."""
-    hmap, n_alloc = allocate_from_frame(hmap, frame, T_wc, cam, cfg, fusion)
+    fused on-device computation.  Returns (map, active_set, n_allocated).
+    ``frame_idx`` stamps visibility recency for eviction/GC protection."""
+    hmap, n_alloc = allocate_from_frame(
+        hmap, frame, T_wc, cam, cfg, fusion, frame_idx=frame_idx
+    )
     active = compact_visible(hmap, cfg, T_wc, cam, fusion)
+    hmap = touch_active(hmap, active, frame_idx)
     hmap = integrate(hmap, active, cfg, frame.depth, T_wc, cam, fusion)
     return hmap, active, n_alloc

@@ -86,6 +86,7 @@ def _map_spec() -> HashMap:
         free_top=P(AXIS),        # shape (n,) globally, (1,) per device
         tsdf=P(AXIS),
         weight=P(AXIS),
+        last_seen=P(AXIS),
     )
 
 
@@ -391,6 +392,7 @@ def make_sharded_step(config: PipelineConfig, mesh: Mesh):
                 lambda m: hash_ops.garbage_collect(
                     m, lcfg, config.gc.min_weight,
                     config.gc.max_blocks_per_gc,
+                    frame_idx=state.frame_idx, min_age=config.gc.min_age,
                 ),
                 lambda m: (
                     m,
@@ -411,13 +413,14 @@ def make_sharded_step(config: PipelineConfig, mesh: Mesh):
         ) & (cand != hash_ops.EMPTY_KEY)
         cand = jnp.where(mine, cand, hash_ops.EMPTY_KEY)
         hmap, n_alloc = hash_ops.insert_blocks(
-            hmap, lcfg, cand, bucket_fn
+            hmap, lcfg, cand, bucket_fn, frame_idx=state.frame_idx
         )
 
         # --- fuse: fully local (each block has one owner) ----------------
         active = hash_ops.compact_visible(
             hmap, lcfg, pose_new, cam, config.fusion
         )
+        hmap = hash_ops.touch_active(hmap, active, state.frame_idx)
         hmap = hash_ops.integrate(
             hmap, active, lcfg, frame.depth, pose_new, cam, config.fusion
         )
@@ -458,6 +461,62 @@ def make_sharded_step(config: PipelineConfig, mesh: Mesh):
     )
     # donate the state: the sharded map updates in place on every device
     return jax.jit(sharded, donate_argnums=0)
+
+
+def make_sharded_evict(config: PipelineConfig, mesh: Mesh):
+    """Jitted sharded eviction scan: each device evicts its own stale rows
+    (max_evict/n per device) — no collectives; the padded payload comes
+    back axis-sharded and the host concatenates it into the BlockStore."""
+    n = mesh.devices.size
+    lcfg = local_hash_config(config.hash, n)
+    s = config.stream
+    assert s.max_evict % n == 0
+
+    def _local(hmap, frame_idx):
+        hmap, keys, tsdf, weight, cnt = hash_ops.evict_stale(
+            hmap, lcfg, frame_idx, s.max_age, s.max_evict // n
+        )
+        return hmap, keys, tsdf, weight, jax.lax.psum(cnt, AXIS)
+
+    fn = jax.shard_map(
+        _local,
+        mesh=mesh,
+        in_specs=(_map_spec(), P()),
+        out_specs=(_map_spec(), P(AXIS), P(AXIS), P(AXIS), P()),
+    )
+    return jax.jit(fn, donate_argnums=0)
+
+
+def make_sharded_restore(config: PipelineConfig, mesh: Mesh):
+    """Jitted sharded restore: the key/payload batch arrives replicated;
+    each device masks it to the keys it owns (hash-mod-n routing, same as
+    allocation) and restores locally.  The accepted masks OR across the
+    mesh with one psum."""
+    n = mesh.devices.size
+    lcfg = local_hash_config(config.hash, n)
+    bucket_fn = _local_bucket_fn(config.hash, n)
+
+    def _local(hmap, keys, tsdf, weight, frame_idx):
+        my = jax.lax.axis_index(AXIS)
+        blocks = coords.unpack_block_key(keys, lcfg.key_bits)
+        mine = (
+            _owner(blocks, config.hash, n) == my
+        ) & (keys != hash_ops.EMPTY_KEY)
+        keys_m = jnp.where(mine, keys, hash_ops.EMPTY_KEY)
+        hmap, accepted = hash_ops.restore_blocks(
+            hmap, lcfg, keys_m, tsdf, weight, frame_idx, bucket_fn,
+            max_weight=config.fusion.max_weight,
+        )
+        accepted = jax.lax.psum(accepted.astype(jnp.int32), AXIS) > 0
+        return hmap, accepted
+
+    fn = jax.shard_map(
+        _local,
+        mesh=mesh,
+        in_specs=(_map_spec(), P(), P(), P(), P()),
+        out_specs=(_map_spec(), P()),
+    )
+    return jax.jit(fn, donate_argnums=0)
 
 
 def optimize_graph_sharded(graph, kcfg, mesh):
@@ -536,7 +595,12 @@ def optimize_graph_sharded(graph, kcfg, mesh):
 
 
 class ShardedHashSLAM:
-    """Host-side wrapper: multi-chip voxel-hash SLAM over a device mesh."""
+    """Host-side wrapper: multi-chip voxel-hash SLAM over a device mesh.
+
+    Streaming (config.stream.enabled) works exactly as in the single-chip
+    HashSLAM wrapper: one global host BlockStore; eviction pulls each
+    device's stale rows (axis-sharded padded batch), restore broadcasts
+    the batch and owner-routes it on device."""
 
     def __init__(self, config: PipelineConfig, mesh: Mesh):
         self.config = config
@@ -545,9 +609,62 @@ class ShardedHashSLAM:
         self._step = make_sharded_step(config, mesh)
         self.trajectory = []
         self.infos = []
+        self.store = None
+        if config.stream.enabled:
+            from ..utils.blockstore import BlockStore
+
+            self.store = BlockStore(config.hash)
+            self._evict = make_sharded_evict(config, mesh)
+            self._restore = make_sharded_restore(config, mesh)
+
+    def _stream_restore(self):
+        import numpy as np
+
+        s = self.config.stream
+        if not len(self.store):
+            return
+        pose = np.asarray(self.state.pose)
+        vel = np.asarray(self.state.vel)
+        keys = self.store.query_frustum(
+            pose @ vel, self.config.camera, self.config.fusion,
+            s.restore_margin_px, s.max_restore,
+        )
+        if keys.size == 0:
+            return
+        tsdf, weight = self.store.rows_for(keys)
+        pad = s.max_restore - keys.shape[0]
+        V = self.config.hash.voxels_per_block
+        keys_p = np.concatenate(
+            [keys, np.full(pad, int(hash_ops.EMPTY_KEY), np.int32)]
+        )
+        tsdf_p = np.concatenate([tsdf, np.zeros((pad, V), np.float32)])
+        weight_p = np.concatenate([weight, np.zeros((pad, V), np.float32)])
+        hmap, accepted = self._restore(
+            self.state.hmap, jnp.asarray(keys_p), jnp.asarray(tsdf_p),
+            jnp.asarray(weight_p), self.state.frame_idx,
+        )
+        self.state = self.state._replace(hmap=hmap)
+        self.store.take(keys, np.asarray(accepted)[: keys.shape[0]])
+
+    def _stream_evict(self):
+        import numpy as np
+
+        hmap, keys, tsdf, weight, n = self._evict(
+            self.state.hmap, self.state.frame_idx
+        )
+        self.state = self.state._replace(hmap=hmap)
+        if int(n) > 0:
+            self.store.add(
+                np.asarray(keys), np.asarray(tsdf), np.asarray(weight)
+            )
 
     def process(self, depth_raw) -> StepInfo:
+        if self.store is not None:
+            self._stream_restore()
         self.state, info = self._step(self.state, jnp.asarray(depth_raw))
         self.trajectory.append(info.pose)
         self.infos.append(info)
+        if self.store is not None:
+            if len(self.trajectory) % self.config.stream.interval == 0:
+                self._stream_evict()
         return info

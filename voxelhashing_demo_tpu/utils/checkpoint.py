@@ -85,6 +85,10 @@ def save_slam(
         config_to_json(slam.config).encode(), dtype=np.uint8
     )
     arrays["format_version"] = np.int64(FORMAT_VERSION)
+    if getattr(slam, "store", None) is not None and len(slam.store):
+        # streaming host store: the out-of-frustum half of the map
+        for k, v in slam.store.state_arrays().items():
+            arrays[f"store.{k}"] = v
     if extra:
         for k, v in extra.items():
             arrays[f"extra.{k}"] = np.asarray(v)
@@ -104,13 +108,41 @@ def load_slam(
         slam = hash_slam.HashSLAM.__new__(hash_slam.HashSLAM)
         slam.config = config
         slam._step = hash_slam.make_step(config)
+        slam._scan_step = None
         slam.infos = []
+        slam.store = None
+        if config.stream.enabled:
+            from .blockstore import BlockStore
+
+            slam._evict = hash_slam.make_evict(config)
+            slam._restore = hash_slam.make_restore(config)
+            if "store.keys" in z:
+                slam.store = BlockStore.from_arrays(
+                    config.hash, z["store.keys"], z["store.tsdf"],
+                    z["store.weight"],
+                )
+            else:
+                slam.store = BlockStore(config.hash)
 
         def leaf(key):
             return jnp.asarray(z[key])
 
         hmap = hash_ops.HashMap(
-            **{n: leaf(f"state.hmap.{n}") for n in hash_ops.HashMap._fields}
+            **{
+                n: leaf(f"state.hmap.{n}")
+                for n in hash_ops.HashMap._fields
+                if f"state.hmap.{n}" in z
+            },
+            # fields added after format v1 default sanely on old files
+            **(
+                {}
+                if "state.hmap.last_seen" in z
+                else {
+                    "last_seen": jnp.zeros(
+                        z["state.hmap.free_list"].shape, dtype=jnp.int32
+                    )
+                }
+            ),
         )
         model = pre_ops.Frame(
             **{n: leaf(f"state.model.{n}") for n in pre_ops.Frame._fields}
