@@ -2,15 +2,24 @@
 
 Runs the flagship 640x480 voxel-hash SLAM pipeline (the reference's
 workload envelope: TUM intrinsics, 2 cm voxels — BASELINE.md) on the
-default JAX platform (the real TPU chip under the driver) over a synthetic
-depth sequence, and prints ONE JSON line:
+default JAX platform (the real TPU chip under the driver) and prints ONE
+JSON line:
 
     {"metric": "fused_frames_per_s_per_chip", "value": N, "unit": "fps",
-     "vs_baseline": N / 30.0}
+     "vs_baseline": N / 30.0, "detail": {...}}
 
 vs_baseline is against the >=30 fps/chip real-time bar (BASELINE.json; the
 reference itself publishes no numbers — README.md:4-5, its renderer never
 worked).
+
+The headline number is the HONEST one: a 200-frame Kinect-noise room-scale
+sweep (utils/synthetic.make_room_sweep) during which the map grows the
+whole time (new walls keep entering the frustum), GC and the robust
+frontend are active, and ICP tracks real pose error — not a steady-state
+loop over a handful of fully-mapped frames.  ``detail`` carries the
+steady-state number (the old flattering metric, for continuity), map
+growth, and tracking quality.  ``python bench.py --quick`` runs only the
+steady-state loop.
 """
 
 import json
@@ -21,46 +30,152 @@ import jax
 import jax.numpy as jnp
 
 
-def main():
-    sys.path.insert(0, ".")
-    from __graft_entry__ import flagship_config
-    from voxelhashing_demo_tpu.models import hash_slam
-    from voxelhashing_demo_tpu.utils import synthetic
-
-    config = flagship_config()
+def _steady_state_fps(config, hash_slam, synthetic):
+    """Old-style number: small static scene, map stops growing after
+    warmup.  Upper bound of the pipeline's throughput."""
     cam = config.camera
-
-    n_unique = 8
-    warmup = 3
-    measure = 24
-
+    n_unique, warmup, measure = 8, 3, 24
     depths, _ = synthetic.make_sequence(
         cam, n_unique, trans_amp=0.06, rot_amp_deg=3.0
     )
     depths = [jnp.asarray(d) for d in depths]
-
     slam = hash_slam.HashSLAM(config)
     for i in range(warmup):
         slam.process(depths[i % n_unique])
     jax.block_until_ready(slam.state.pose)
-
     t0 = time.perf_counter()
     for i in range(measure):
         slam.process(depths[(warmup + i) % n_unique])
     jax.block_until_ready(slam.state.pose)
+    return measure / (time.perf_counter() - t0)
+
+
+def _long_run(config, hash_slam, synthetic, metrics, num_frames=200):
+    """Growing-map room sweep with Kinect-class sensor noise: the honest
+    workload (BASELINE configs 3/5 regime)."""
+    import numpy as np
+
+    cam = config.camera
+    depths, gt = synthetic.make_room_sweep(
+        cam, num_frames, sweep_deg=340.0, noise_seed=1
+    )
+    depths = [jnp.asarray(d) for d in depths]
+
+    slam = hash_slam.HashSLAM(config)
+    slam.process(depths[0])  # compile + first alloc outside the clock
+    jax.block_until_ready(slam.state.pose)
+
+    t0 = time.perf_counter()
+    for d in depths[1:]:
+        slam.process(d)
+    jax.block_until_ready(slam.state.pose)
     dt = time.perf_counter() - t0
 
-    fps = measure / dt
-    print(
-        json.dumps(
-            {
-                "metric": "fused_frames_per_s_per_chip",
-                "value": round(fps, 3),
-                "unit": "fps",
-                "vs_baseline": round(fps / 30.0, 4),
-            }
-        )
+    fps = (num_frames - 1) / dt
+    ate = metrics.ate_rmse(slam.trajectory, gt, align=False)
+    used = config.hash.num_blocks - int(slam.state.hmap.free_top)
+    return {
+        "fps": round(fps, 3),
+        "frames": num_frames,
+        "ate_rmse_m": round(float(ate), 5),
+        "tracked": sum(bool(i.tracked) for i in slam.infos),
+        "blocks_used": used,
+        "blocks_active_final": int(slam.infos[-1].blocks_active),
+    }
+
+
+def _stage_breakdown(config, hash_slam, synthetic):
+    """Per-stage device times at a mid-sweep state (the roofline's
+    denominator; see tools/profile_stages.py for the full picture)."""
+    from voxelhashing_demo_tpu.geometry import se3
+    from voxelhashing_demo_tpu.ops import (hash_ops, icp as icp_ops,
+                                           preprocess as pre_ops,
+                                           splat as splat_ops)
+
+    cam = config.camera
+    depths, _ = synthetic.make_room_sweep(cam, 24, sweep_deg=40.0,
+                                          noise_seed=1)
+    depths = [jnp.asarray(d) for d in depths]
+    slam = hash_slam.HashSLAM(config)
+    for d in depths:
+        slam.process(d)
+    state = slam.state
+    frame = pre_ops.preprocess(depths[-1], cam, config.frontend)
+
+    def timeit(fn, *args, n=20):
+        f = jax.jit(fn)
+        jax.block_until_ready(f(*args))
+        t0 = time.perf_counter()
+        for _ in range(n):
+            out = f(*args)
+        jax.block_until_ready(out)
+        return (time.perf_counter() - t0) / n * 1e3
+
+    stages = {}
+    stages["preprocess_ms"] = timeit(
+        lambda d: pre_ops.preprocess(d, cam, config.frontend), depths[-1]
     )
+    stages["icp_ms"] = timeit(
+        lambda f, m: icp_ops.icp_align_pyramid(
+            f.depth, m.depth, cam, config.icp, src_full=f, tgt_full=m,
+            prior_T=state.vel,
+        ).transform,
+        frame, state.model,
+    )
+    stages["fuse_ms"] = timeit(
+        lambda h, f, T: hash_ops.fuse_frame(
+            h, f, T, cam, config.hash, config.fusion
+        )[0].free_top,
+        state.hmap, frame, state.pose,
+    )
+    active = hash_ops.compact_visible(
+        state.hmap, config.hash, state.pose, cam, config.fusion
+    )
+    stages["raycast_ms"] = timeit(
+        lambda h, a, T: splat_ops.splat_raycast(
+            h, a, config.hash, T, cam, config.raycast, config.fusion
+        ).depth,
+        state.hmap, active, state.pose,
+    )
+    return {k: round(v, 3) for k, v in stages.items()}
+
+
+def main():
+    sys.path.insert(0, ".")
+    from __graft_entry__ import flagship_config
+    from voxelhashing_demo_tpu.models import hash_slam
+    from voxelhashing_demo_tpu.utils import metrics, synthetic
+
+    quick = "--quick" in sys.argv
+    config = flagship_config()
+
+    steady = _steady_state_fps(config, hash_slam, synthetic)
+    if quick:
+        out = {
+            "metric": "fused_frames_per_s_per_chip",
+            "value": round(steady, 3),
+            "unit": "fps",
+            "vs_baseline": round(steady / 30.0, 4),
+        }
+        print(json.dumps(out))
+        return
+
+    long_run = _long_run(config, hash_slam, synthetic, metrics)
+    stages = _stage_breakdown(config, hash_slam, synthetic)
+    fps = long_run["fps"]
+    out = {
+        "metric": "fused_frames_per_s_per_chip",
+        "value": fps,
+        "unit": "fps",
+        "vs_baseline": round(fps / 30.0, 4),
+        "detail": {
+            "workload": "200-frame Kinect-noise room sweep, growing map",
+            "long_run": long_run,
+            "steady_state_fps": round(steady, 3),
+            "stages": stages,
+        },
+    }
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -1,0 +1,106 @@
+"""Sharded checkpoint/resume (VERDICT r1 item 6).
+
+Save a mid-sequence sharded run, restore onto a fresh mesh, continue: the
+trajectory must be bit-identical to the uninterrupted run.  Also: the
+single-chip canonical view of a sharded checkpoint renders/continues
+(topology-free load)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from voxelhashing_demo_tpu.config import (
+    CameraConfig,
+    FusionConfig,
+    GCConfig,
+    HashConfig,
+    ICPConfig,
+    PipelineConfig,
+    RaycastConfig,
+)
+from voxelhashing_demo_tpu.models import hash_slam
+from voxelhashing_demo_tpu.parallel import sharded
+from voxelhashing_demo_tpu.utils import checkpoint, synthetic
+
+CFG = PipelineConfig(
+    camera=CameraConfig(width=160, height=120, fx=129.3, fy=129.1,
+                        cx=79.65, cy=59.8),
+    icp=ICPConfig(pyramid=(4, 2, 1), pyramid_iters=(8, 4, 2)),
+    fusion=FusionConfig(voxel_size=0.02, truncation=0.08),
+    hash=HashConfig(num_buckets=8192, bucket_size=4, num_blocks=8192,
+                    max_active=4096, max_new_per_frame=4096),
+    raycast=RaycastConfig(max_steps=96, cache_dims=(192, 192, 192)),
+    gc=GCConfig(enabled=True, interval=4),
+)
+
+
+def test_sharded_checkpoint_bit_identical_resume(tmp_path):
+    num_frames, cut = 10, 5
+    depths, _ = synthetic.make_sequence(CFG.camera, num_frames,
+                                        trans_amp=0.05, rot_amp_deg=2.5)
+    mesh = sharded.make_mesh(8)
+
+    full = sharded.ShardedHashSLAM(CFG, mesh)
+    for d in depths:
+        full.process(d)
+
+    half = sharded.ShardedHashSLAM(CFG, mesh)
+    for d in depths[:cut]:
+        half.process(d)
+    path = str(tmp_path / "sharded.npz")
+    checkpoint.save_slam(path, half)
+
+    resumed = checkpoint.load_sharded_slam(path)
+    assert resumed.mesh.devices.size == 8
+    assert len(resumed.trajectory) == cut
+    for d in depths[cut:]:
+        resumed.process(d)
+
+    for a, b in zip(full.trajectory, resumed.trajectory):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(
+        np.asarray(full.state.hmap.tsdf), np.asarray(resumed.state.hmap.tsdf)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(full.state.hmap.keys), np.asarray(resumed.state.hmap.keys)
+    )
+
+
+def test_sharded_checkpoint_single_chip_view(tmp_path):
+    """load_slam on a sharded checkpoint gives a working single-chip twin:
+    same occupied content, renders, and continues processing."""
+    depths, _ = synthetic.make_sequence(CFG.camera, 6, trans_amp=0.05,
+                                        rot_amp_deg=2.5)
+    mesh = sharded.make_mesh(8)
+    s = sharded.ShardedHashSLAM(CFG, mesh)
+    for d in depths:
+        s.process(d)
+    path = str(tmp_path / "sharded2.npz")
+    checkpoint.save_slam(path, s)
+
+    single, _ = checkpoint.load_slam(path)
+    assert isinstance(single, hash_slam.HashSLAM)
+    # content-identical map: same key set, same per-block payload
+    sk = np.asarray(s.state.hmap.keys)
+    sp = np.asarray(s.state.hmap.ptrs)
+    localT = sk.shape[0] // 8
+    localB = np.asarray(s.state.hmap.tsdf).shape[0] // 8
+    occ = np.nonzero(sp >= 0)[0]
+    rows = (occ // localT) * localB + sp[occ]
+    sh_payload = {
+        int(k): np.asarray(s.state.hmap.tsdf)[r]
+        for k, r in zip(sk[occ], rows)
+    }
+    uk = np.asarray(single.state.hmap.keys)
+    up = np.asarray(single.state.hmap.ptrs)
+    uocc = np.nonzero(up >= 0)[0]
+    assert set(int(k) for k in uk[uocc]) == set(sh_payload)
+    ut = np.asarray(single.state.hmap.tsdf)
+    for slot in uocc:
+        np.testing.assert_array_equal(
+            ut[up[slot]], sh_payload[int(uk[slot])]
+        )
+    # it keeps working as a normal single-chip SLAM
+    info = single.process(depths[-1])
+    assert bool(jnp.all(jnp.isfinite(info.pose)))
+    out = single.render()
+    assert float(np.asarray(out.hit).mean()) > 0.3

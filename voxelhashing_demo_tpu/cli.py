@@ -180,6 +180,12 @@ def cmd_run(args) -> None:
             f.write(json.dumps(r) + "\n")
 
     inner = slam if isinstance(slam, hash_slam.HashSLAM) else None
+    # sharded runs checkpoint too (save_slam gathers sharded leaves; resume
+    # with checkpoint.load_sharded_slam, or load_slam for the single-chip
+    # canonical view)
+    saveable = inner
+    if saveable is None and args.backend == "hash" and mesh is not None:
+        saveable = slam
     result = {
         "command": "run",
         "frames": len(depths),
@@ -206,8 +212,9 @@ def cmd_run(args) -> None:
                 config, slam.state, list(trajectory), [])
             hs._step = hash_slam.make_step(config)
             inner = hs
-    if args.checkpoint and inner is not None:
-        ck.save_slam(os.path.join(args.out, args.checkpoint), inner,
+            saveable = hs
+    if args.checkpoint and saveable is not None:
+        ck.save_slam(os.path.join(args.out, args.checkpoint), saveable,
                      graph=getattr(slam, "graph", None))
         result["checkpoint"] = args.checkpoint
     if args.render_last and inner is not None:

@@ -250,6 +250,15 @@ class KeyframeConfig:
     max_loop_error: float = 1e-4     # mean sq point-to-plane residual gate
     loop_weight: float = 1.0
     odometry_weight: float = 1.0
+    # propagate BA corrections into the TSDF: when a loop closure moves the
+    # current keyframe by more than rebuild_min_trans/rot, rebuild the map
+    # by re-integrating the stored keyframe depths at corrected poses
+    # (BundleFusion-style reintegration bounded to keyframes).  Without it
+    # the map keeps its drifted geometry and frame-to-model tracking
+    # fights the correction.
+    rebuild_map: bool = True
+    rebuild_min_trans: float = 0.02   # meters
+    rebuild_min_rot_deg: float = 1.0
 
 
 @dataclasses.dataclass(frozen=True)

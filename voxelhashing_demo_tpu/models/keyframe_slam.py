@@ -27,15 +27,59 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import List
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..config import PipelineConfig
 from ..geometry import se3
+from ..ops import hash_ops
 from ..ops import icp as icp_ops
 from ..ops import pose_graph
 from ..ops import preprocess as pre_ops
+from ..ops import raycast as rc_ops
 from . import hash_slam
+
+
+def make_fuse_only(config: PipelineConfig):
+    """Jitted fuse-only step (no tracking): integrate one raw depth frame
+    at a GIVEN pose.  Used to rebuild the map from stored keyframe depths
+    after a BA correction."""
+
+    def fuse(hmap, depth_raw, pose, frame_idx):
+        frame = pre_ops.preprocess(depth_raw, config.camera, config.frontend)
+        hmap, _, _ = hash_ops.fuse_frame(
+            hmap, frame, pose, config.camera, config.hash, config.fusion,
+            frame_idx=frame_idx,
+        )
+        return hmap
+
+    return jax.jit(fuse, donate_argnums=0)
+
+
+def make_render_model(config: PipelineConfig):
+    """Jitted surface prediction at an arbitrary pose (the model Frame the
+    next tracking step needs after a map rebuild)."""
+    from ..ops import hash_raycast, splat as splat_ops
+
+    def render(hmap, pose):
+        active = hash_ops.compact_visible(
+            hmap, config.hash, pose, config.camera, config.fusion
+        )
+        if config.raycast.mode == "splat":
+            rc = splat_ops.splat_raycast(
+                hmap, active, config.hash, pose, config.camera,
+                config.raycast, config.fusion,
+            )
+        else:
+            rc = hash_raycast.raycast_hash(
+                hmap, active, config.hash, pose, config.camera,
+                config.raycast, config.fusion,
+                cache_dims=config.raycast.cache_dims,
+            )
+        return rc_ops.model_frame(rc)
+
+    return jax.jit(render)
 
 
 @dataclass
@@ -75,6 +119,8 @@ class KeyframeSLAM:
         self.ba_events = []
         self._lcam = config.camera.scaled(self.kcfg.icp_downsample)
         self._frame_idx = 0
+        self._fuse_only = None      # built lazily on first rebuild
+        self._render_model = None
 
     # -- backend dispatch (single-chip vs sharded) ----------------------------
 
@@ -195,15 +241,29 @@ class KeyframeSLAM:
         return added
 
     def _optimize(self) -> None:
-        """Run BA and propagate the last-keyframe correction to the live
-        tracking pose (the fused map keeps its already-integrated geometry;
-        corrections apply to the trajectory and future integration)."""
+        """Run BA, propagate the last-keyframe correction to the live
+        tracking pose, and — when the correction is significant — rebuild
+        the map from the stored keyframe depths at their corrected poses
+        (kcfg.rebuild_map).  Without the rebuild the fused TSDF keeps its
+        drifted geometry and subsequent frame-to-model tracking fights the
+        correction instead of benefiting from it."""
         last_idx = self.keyframes[-1].index
         old_last = self._kf_pose(last_idx)
         self.graph, info = self._run_ba()
         new_last = self._kf_pose(last_idx)
         correction = new_last @ se3.inverse(old_last)
         self._apply_correction(correction)
+
+        trans = float(np.linalg.norm(np.asarray(correction[:3, 3])))
+        rot = float(np.degrees(float(se3.rotation_angle(correction))))
+        rebuilt = False
+        if self.kcfg.rebuild_map and (
+            trans > self.kcfg.rebuild_min_trans
+            or rot > self.kcfg.rebuild_min_rot_deg
+        ):
+            self._rebuild_map()
+            rebuilt = True
+
         self.ba_events.append(
             {
                 "frame": self._frame_idx,
@@ -211,8 +271,53 @@ class KeyframeSLAM:
                 "edges": int(self.graph.num_edges),
                 "chi2_initial": float(info.chi2_initial),
                 "chi2_final": float(info.chi2_final),
+                "correction_trans_m": trans,
+                "correction_rot_deg": rot,
+                "map_rebuilt": rebuilt,
             }
         )
+
+    def _rebuild_map(self) -> None:
+        """Re-integrate every stored keyframe depth at its BA-corrected
+        pose into a fresh map, then re-render the tracking model at the
+        corrected live pose.  BundleFusion-style reintegration bounded to
+        keyframes: non-keyframe observations are dropped, which trades a
+        thinner weight field for globally consistent geometry."""
+        poses = np.asarray(self.graph.poses)
+        if self.mesh is None:
+            if self._fuse_only is None:
+                self._fuse_only = make_fuse_only(self.config)
+                self._render_model = make_render_model(self.config)
+            hmap = hash_ops.create(self.config.hash)
+            for rec in self.keyframes:
+                hmap = self._fuse_only(
+                    hmap, jnp.asarray(rec.depth_raw),
+                    jnp.asarray(poses[rec.index]),
+                    jnp.int32(rec.frame_index),
+                )
+            model = self._render_model(hmap, self.state.pose)
+            self.state = self.state._replace(hmap=hmap, model=model)
+        else:
+            from ..parallel import sharded as sharded_mod
+
+            if self._fuse_only is None:
+                self._fuse_only = sharded_mod.make_sharded_fuse_only(
+                    self.config, self.mesh
+                )
+                self._render_model = sharded_mod.make_sharded_render_model(
+                    self.config, self.mesh
+                )
+            hmap = sharded_mod.create_sharded(self.config, self.mesh).hmap
+            for rec in self.keyframes:
+                hmap = self._fuse_only(
+                    hmap, jnp.asarray(rec.depth_raw),
+                    jnp.asarray(poses[rec.index]),
+                    jnp.int32(rec.frame_index),
+                )
+            model = self._render_model(hmap, self._sharded.state.pose)
+            self._sharded.state = self._sharded.state._replace(
+                hmap=hmap, model=model
+            )
 
     # -- main entry ----------------------------------------------------------
 

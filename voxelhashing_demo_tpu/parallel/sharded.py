@@ -463,6 +463,65 @@ def make_sharded_step(config: PipelineConfig, mesh: Mesh):
     return jax.jit(sharded, donate_argnums=0)
 
 
+def make_sharded_fuse_only(config: PipelineConfig, mesh: Mesh):
+    """Sharded fuse-only step (no tracking): integrate one raw depth frame
+    at a given pose — the map-rebuild primitive for post-BA reintegration
+    (models/keyframe_slam._rebuild_map)."""
+    n = mesh.devices.size
+    lcfg = local_hash_config(config.hash, n)
+    cam = config.camera
+    bucket_fn = _local_bucket_fn(config.hash, n)
+
+    def _local(hmap, depth_raw, pose, frame_idx):
+        my = jax.lax.axis_index(AXIS)
+        frame = pre_ops.preprocess(depth_raw, cam, config.frontend)
+        cand = hash_ops.frame_candidate_keys(
+            frame, pose, cam, lcfg, config.fusion
+        )
+        cand_blocks = coords.unpack_block_key(cand, lcfg.key_bits)
+        mine = (
+            _owner(cand_blocks, config.hash, n) == my
+        ) & (cand != hash_ops.EMPTY_KEY)
+        cand = jnp.where(mine, cand, hash_ops.EMPTY_KEY)
+        hmap, _ = hash_ops.insert_blocks(
+            hmap, lcfg, cand, bucket_fn, frame_idx=frame_idx
+        )
+        active = hash_ops.compact_visible(hmap, lcfg, pose, cam,
+                                          config.fusion)
+        hmap = hash_ops.touch_active(hmap, active, frame_idx)
+        hmap = hash_ops.integrate(
+            hmap, active, lcfg, frame.depth, pose, cam, config.fusion
+        )
+        return hmap
+
+    fn = jax.shard_map(
+        _local,
+        mesh=mesh,
+        in_specs=(_map_spec(), P(), P(), P()),
+        out_specs=_map_spec(),
+    )
+    return jax.jit(fn, donate_argnums=0)
+
+
+def make_sharded_render_model(config: PipelineConfig, mesh: Mesh):
+    """Sharded surface prediction at an arbitrary pose (row-sharded model
+    Frame) — refreshes tracking input after a map rebuild."""
+    n = mesh.devices.size
+    lcfg = local_hash_config(config.hash, n)
+
+    def _local(hmap, pose):
+        model, _ = _raycast_model_sharded(hmap, lcfg, pose, config, n)
+        return model
+
+    fn = jax.shard_map(
+        _local,
+        mesh=mesh,
+        in_specs=(_map_spec(), P()),
+        out_specs=Frame(vertices=P(AXIS), normals=P(AXIS), depth=P(AXIS)),
+    )
+    return jax.jit(fn)
+
+
 def make_sharded_evict(config: PipelineConfig, mesh: Mesh):
     """Jitted sharded eviction scan: each device evicts its own stale rows
     (max_evict/n per device) — no collectives; the padded payload comes

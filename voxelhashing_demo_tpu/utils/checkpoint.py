@@ -73,8 +73,16 @@ def save_slam(
     graph: Optional[pose_graph.PoseGraph] = None,
     extra: Optional[dict] = None,
 ) -> None:
-    """Checkpoint a HashSLAM (or KeyframeSLAM's inner state + graph)."""
+    """Checkpoint a HashSLAM, ShardedHashSLAM, or KeyframeSLAM inner state.
+
+    Sharded states save transparently (np.asarray gathers the global view
+    of every sharded leaf); ``mesh_n`` records the mesh size so
+    ``load_sharded_slam`` can restore the exact per-device layout
+    (bit-identical resume) while plain ``load_slam`` converts the map
+    canonically to the single-chip layout."""
     arrays = _flatten("state", slam.state)
+    mesh = getattr(slam, "mesh", None)
+    arrays["mesh_n"] = np.int64(mesh.devices.size if mesh is not None else 1)
     if graph is not None:
         arrays.update(_flatten("graph", graph))
     if slam.trajectory:
@@ -95,10 +103,76 @@ def save_slam(
     np.savez_compressed(path, **arrays)
 
 
+def _sharded_map_to_single(
+    hmap_np: dict, config: PipelineConfig, n: int
+) -> hash_ops.HashMap:
+    """Canonical conversion of a gathered sharded map (n local tables,
+    local row pointers) into the single-chip layout: collect every
+    occupied block's (key, payload) and re-insert into a fresh table.
+
+    The result is content-identical, not slot-identical — all consumers
+    (integrate, splat, raycast, GC) are order-independent over the table,
+    so rendering and continued fusion behave the same."""
+    import jax.numpy as jnp_  # local alias; works on any platform
+
+    cfg = config.hash
+    keys = hmap_np["keys"]
+    ptrs = hmap_np["ptrs"]
+    localT = keys.shape[0] // n
+    localB = hmap_np["tsdf"].shape[0] // n
+    occ = np.nonzero(ptrs >= 0)[0]
+    seg = occ // localT
+    rows = seg * localB + ptrs[occ]
+    okeys = keys[occ]
+    otsdf = hmap_np["tsdf"][rows]
+    oweight = hmap_np["weight"][rows]
+    olast = hmap_np["last_seen"][rows]
+
+    out = hash_ops.create(cfg)
+    C = 4096
+    for i in range(0, len(occ), C):
+        k = okeys[i: i + C]
+        pad = C - k.shape[0]
+        k = np.concatenate([k, np.full(pad, int(hash_ops.EMPTY_KEY),
+                                       np.int32)])
+        t = np.concatenate(
+            [otsdf[i: i + C],
+             np.zeros((pad, otsdf.shape[1]), np.float32)]
+        )
+        w = np.concatenate(
+            [oweight[i: i + C],
+             np.zeros((pad, oweight.shape[1]), np.float32)]
+        )
+        out, acc = hash_ops.restore_blocks(
+            out, cfg, jnp_.asarray(k), jnp_.asarray(t), jnp_.asarray(w), 0,
+            max_weight=config.fusion.max_weight,
+        )
+        if not bool(np.asarray(acc)[: C - pad].all()):
+            raise ValueError(
+                "sharded->single conversion overflowed the single-chip "
+                "table (raise hash.num_buckets/bucket_size)"
+            )
+        # restore_blocks stamps last_seen=frame 0; put the real values back
+        p, _ = hash_ops.lookup_keys(out, cfg, jnp_.asarray(k))
+        l = np.concatenate(
+            [olast[i: i + C], np.zeros(pad, np.int32)]
+        )
+        out = out._replace(
+            last_seen=out.last_seen.at[
+                jnp_.where(p >= 0, p, out.last_seen.shape[0])
+            ].set(jnp_.asarray(l), mode="drop")
+        )
+    return out
+
+
 def load_slam(
     path: str,
 ) -> Tuple["hash_slam.HashSLAM", Optional[pose_graph.PoseGraph]]:
-    """Restore a HashSLAM wrapper (and pose graph, if present)."""
+    """Restore a HashSLAM wrapper (and pose graph, if present).
+
+    Sharded checkpoints (mesh_n > 1) are converted canonically to the
+    single-chip layout — use ``load_sharded_slam`` for bit-identical
+    multi-chip resume."""
     with np.load(path) as z:
         version = int(z["format_version"])
         if version > FORMAT_VERSION:
@@ -127,23 +201,23 @@ def load_slam(
         def leaf(key):
             return jnp.asarray(z[key])
 
-        hmap = hash_ops.HashMap(
-            **{
-                n: leaf(f"state.hmap.{n}")
-                for n in hash_ops.HashMap._fields
-                if f"state.hmap.{n}" in z
-            },
-            # fields added after format v1 default sanely on old files
-            **(
-                {}
-                if "state.hmap.last_seen" in z
-                else {
-                    "last_seen": jnp.zeros(
-                        z["state.hmap.free_list"].shape, dtype=jnp.int32
-                    )
-                }
-            ),
-        )
+        hmap_np = {
+            n: np.asarray(z[f"state.hmap.{n}"])
+            for n in hash_ops.HashMap._fields
+            if f"state.hmap.{n}" in z
+        }
+        if "last_seen" not in hmap_np:
+            # field added after format v1: default sanely on old files
+            hmap_np["last_seen"] = np.zeros(
+                z["state.hmap.free_list"].shape, dtype=np.int32
+            )
+        mesh_n = int(z["mesh_n"]) if "mesh_n" in z else 1
+        if mesh_n > 1:
+            hmap = _sharded_map_to_single(hmap_np, config, mesh_n)
+        else:
+            hmap = hash_ops.HashMap(
+                **{k: jnp.asarray(v) for k, v in hmap_np.items()}
+            )
         model = pre_ops.Frame(
             **{n: leaf(f"state.model.{n}") for n in pre_ops.Frame._fields}
         )
@@ -170,6 +244,89 @@ def load_slam(
                 }
             )
     return slam, graph
+
+
+def load_sharded_slam(path: str, mesh=None):
+    """Restore a ShardedHashSLAM for bit-identical multi-chip resume.
+
+    The checkpoint's gathered leaves are device_put back with the exact
+    sharding layout they were saved from; requires a mesh of the same size
+    (``mesh_n`` in the file).  For a different topology, go through
+    ``load_slam`` (canonical single-chip view) and re-shard by re-running,
+    or re-save from there."""
+    import jax
+    from jax.sharding import NamedSharding
+
+    from ..models import hash_slam
+    from ..parallel import sharded
+
+    with np.load(path) as z:
+        config = config_from_json(bytes(z["config_json"]).decode())
+        mesh_n = int(z["mesh_n"]) if "mesh_n" in z else 1
+        if mesh is None:
+            mesh = sharded.make_mesh(mesh_n)
+        if mesh.devices.size != mesh_n:
+            raise ValueError(
+                f"checkpoint was saved from a {mesh_n}-device mesh; "
+                f"got {mesh.devices.size} (use load_slam for the "
+                f"topology-free view)"
+            )
+
+        def leaf(key, spec):
+            arr = z[key]
+            return jax.device_put(
+                jnp.asarray(arr), NamedSharding(mesh, spec)
+            )
+
+        map_spec = sharded._map_spec()
+        hmap_kwargs = {}
+        for name in hash_ops.HashMap._fields:
+            k = f"state.hmap.{name}"
+            if k in z:
+                hmap_kwargs[name] = leaf(k, getattr(map_spec, name))
+        if "last_seen" not in hmap_kwargs:
+            hmap_kwargs["last_seen"] = jax.device_put(
+                jnp.zeros(z["state.hmap.free_list"].shape, jnp.int32),
+                NamedSharding(mesh, map_spec.last_seen),
+            )
+        state_spec = sharded._state_spec()
+        model = pre_ops.Frame(
+            **{
+                n: leaf(f"state.model.{n}", getattr(state_spec.model, n))
+                for n in pre_ops.Frame._fields
+            }
+        )
+        slam = sharded.ShardedHashSLAM.__new__(sharded.ShardedHashSLAM)
+        slam.config = config
+        slam.mesh = mesh
+        slam._step = sharded.make_sharded_step(config, mesh)
+        slam.infos = []
+        slam.store = None
+        if config.stream.enabled:
+            from .blockstore import BlockStore
+
+            slam._evict = sharded.make_sharded_evict(config, mesh)
+            slam._restore = sharded.make_sharded_restore(config, mesh)
+            if "store.keys" in z:
+                slam.store = BlockStore.from_arrays(
+                    config.hash, z["store.keys"], z["store.tsdf"],
+                    z["store.weight"],
+                )
+            else:
+                slam.store = BlockStore(config.hash)
+        slam.state = hash_slam.HashSLAMState(
+            hmap=hash_ops.HashMap(**hmap_kwargs),
+            pose=leaf("state.pose", state_spec.pose),
+            model=model,
+            frame_idx=leaf("state.frame_idx", state_spec.frame_idx),
+            vel=(leaf("state.vel", state_spec.vel) if "state.vel" in z
+                 else jnp.eye(4, dtype=jnp.float32)),
+        )
+        slam.trajectory = (
+            [jnp.asarray(p) for p in z["trajectory"]]
+            if "trajectory" in z else []
+        )
+    return slam
 
 
 def export_trajectory_tum(path: str, poses: List, timestamps=None) -> None:
