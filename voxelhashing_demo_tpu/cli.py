@@ -127,11 +127,44 @@ def cmd_run(args) -> None:
     os.makedirs(args.out, exist_ok=True)
 
     if args.dataset:
-        from .utils import stream
+        import glob as _glob
 
-        depths, gt = stream.stream_tum(
-            args.dataset, cam.width, cam.height, max_frames=args.max_frames
-        )
+        is_icl = not os.path.exists(
+            os.path.join(args.dataset, "depth.txt")
+        ) and bool(_glob.glob(os.path.join(args.dataset, "*.depth")))
+        if is_icl:
+            # native ICL-NUIM format (euclidean .depth + POV-Ray cams).
+            # The configured camera is kept when its resolution matches
+            # the files; a 640x480 dataset takes the ICL calibration.
+            from .utils import icl as icl_mod
+
+            first = sorted(_glob.glob(
+                os.path.join(args.dataset, "*.depth")
+            ))[0]
+            with open(first) as f:
+                n_vals = len(f.read().split())
+            if n_vals != cam.width * cam.height:
+                icam = icl_mod.icl_camera()
+                if n_vals != icam.width * icam.height:
+                    raise SystemExit(
+                        f"{first}: {n_vals} values match neither the "
+                        f"configured {cam.width}x{cam.height} nor ICL's "
+                        f"{icam.width}x{icam.height}"
+                    )
+                import dataclasses as _dc
+
+                config = _dc.replace(config, camera=icam)
+                cam = icam
+            seq = icl_mod.ICLSequence(args.dataset, cam=cam,
+                                      max_frames=args.max_frames)
+            depths, gt = seq.load_all()
+        else:
+            from .utils import stream
+
+            depths, gt = stream.stream_tum(
+                args.dataset, cam.width, cam.height,
+                max_frames=args.max_frames,
+            )
     else:
         n = args.synthetic or 30
         depths, gt = synthetic.make_sequence(cam, n, trans_amp=0.10,
