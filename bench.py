@@ -30,6 +30,19 @@ import jax
 import jax.numpy as jnp
 
 
+def _sync(x) -> float:
+    """Wait for the computation chain producing ``x`` and return it.
+
+    On the axon (remote TPU tunnel) platform ``jax.block_until_ready`` is
+    a NO-OP — it returns before remote execution finishes; only a value
+    fetch actually waits.  Every timed section here must close with a
+    fetch of a scalar that depends on the whole chain.
+    """
+    import numpy as np
+
+    return float(np.asarray(x).ravel()[0])
+
+
 def _steady_state_fps(config, hash_slam, synthetic):
     """Old-style number: small static scene, map stops growing after
     warmup.  Upper bound of the pipeline's throughput."""
@@ -41,12 +54,12 @@ def _steady_state_fps(config, hash_slam, synthetic):
     depths = [jnp.asarray(d) for d in depths]
     slam = hash_slam.HashSLAM(config)
     for i in range(warmup):
-        slam.process(depths[i % n_unique])
-    jax.block_until_ready(slam.state.pose)
+        info = slam.process(depths[i % n_unique])
+    _sync(info.icp_error)
     t0 = time.perf_counter()
     for i in range(measure):
-        slam.process(depths[(warmup + i) % n_unique])
-    jax.block_until_ready(slam.state.pose)
+        info = slam.process(depths[(warmup + i) % n_unique])
+    _sync(info.icp_error)
     return measure / (time.perf_counter() - t0)
 
 
@@ -62,13 +75,13 @@ def _long_run(config, hash_slam, synthetic, metrics, num_frames=200):
     depths = [jnp.asarray(d) for d in depths]
 
     slam = hash_slam.HashSLAM(config)
-    slam.process(depths[0])  # compile + first alloc outside the clock
-    jax.block_until_ready(slam.state.pose)
+    info = slam.process(depths[0])  # compile + first alloc off the clock
+    _sync(info.icp_error)
 
     t0 = time.perf_counter()
     for d in depths[1:]:
-        slam.process(d)
-    jax.block_until_ready(slam.state.pose)
+        info = slam.process(d)
+    _sync(info.icp_error)
     dt = time.perf_counter() - t0
 
     fps = (num_frames - 1) / dt
@@ -104,11 +117,11 @@ def _stage_breakdown(config, hash_slam, synthetic):
 
     def timeit(fn, *args, n=20):
         f = jax.jit(fn)
-        jax.block_until_ready(f(*args))
+        _sync(jax.tree.leaves(f(*args))[0])
         t0 = time.perf_counter()
         for _ in range(n):
             out = f(*args)
-        jax.block_until_ready(out)
+        _sync(jax.tree.leaves(out)[0])
         return (time.perf_counter() - t0) / n * 1e3
 
     stages = {}

@@ -99,8 +99,11 @@ def test_rebuild_map_follows_correction():
 def test_rebuild_improves_post_ba_tracking():
     """Drift step injected mid-sweep; loop closures + BA correct it.  With
     rebuild_map the map is reintegrated at corrected poses and subsequent
-    frames benefit; without it they fight the stale model (measured: 135
-    vs 428 mm full ATE, 155 vs 778 mm post-BA ATE at this scale)."""
+    frames benefit; without it they fight the stale model.  Measured at
+    this scale: with the r2 loop gates (angle + mutual consistency) the
+    backend is stable enough that both runs recover, but rebuild still
+    roughly halves the error (6.1 vs 11.0 mm post-BA ATE; pre-gates the
+    gap was 155 vs 778 mm)."""
     n = 40
     depths, gt = synthetic.make_room_sweep(CAM, n, sweep_deg=140.0)
     D = jnp.asarray(se3.exp(jnp.asarray(
@@ -129,4 +132,4 @@ def test_rebuild_improves_post_ba_tracking():
     assert ate_r < 0.25, f"rebuild ATE {ate_r}"
     assert post_r < 0.25, f"rebuild post-BA ATE {post_r}"
     assert ate_r < 0.6 * ate_p, (ate_r, ate_p)
-    assert post_r < 0.5 * post_p, (post_r, post_p)
+    assert post_r < 0.75 * post_p, (post_r, post_p)

@@ -248,6 +248,16 @@ class KeyframeConfig:
     min_loop_separation: int = 3     # keyframes between loop-closure pairs
     min_loop_inliers: int = 500      # at the downsampled resolution
     max_loop_error: float = 1e-4     # mean sq point-to-plane residual gate
+    # candidate gate: max angle between the two keyframes' optical axes —
+    # opposite-facing keyframes share no surface and projective ICP on
+    # them can only converge to wrong-basin solutions
+    loop_max_angle_deg: float = 75.0
+    # mutual-consistency gate: register both directions and require the
+    # composition to be near identity; rejects sliding/wrong-basin
+    # registrations that pass the residual gate on degenerate geometry
+    loop_mutual_check: bool = True
+    loop_mutual_max_trans: float = 0.03   # meters
+    loop_mutual_max_rot_deg: float = 2.0
     loop_weight: float = 1.0
     odometry_weight: float = 1.0
     # propagate BA corrections into the TSDF: when a loop closure moves the

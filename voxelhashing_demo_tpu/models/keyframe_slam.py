@@ -221,23 +221,51 @@ class KeyframeSLAM:
             and float(res.error) <= self.kcfg.max_loop_error
         )
 
+    def _mutually_consistent(self, small, tgt_frame, T_fwd) -> bool:
+        """Register the reverse direction and require the composition to
+        be near identity.  A sliding or wrong-basin forward registration
+        (degenerate geometry: flat walls, symmetric scenes) almost never
+        inverts consistently, while a true registration does."""
+        rev = self._pair_icp(tgt_frame, small, se3.inverse(T_fwd))
+        if not bool(jnp.all(jnp.isfinite(rev.transform))):
+            return False
+        comp = T_fwd @ rev.transform
+        dt = float(jnp.linalg.norm(comp[:3, 3]))
+        dr = float(np.degrees(float(se3.rotation_angle(comp))))
+        return (
+            dt <= self.kcfg.loop_mutual_max_trans
+            and dr <= self.kcfg.loop_mutual_max_rot_deg
+        )
+
     def _try_loop_closures(self, k: int, pose, small) -> bool:
-        """Register the new keyframe against older, nearby keyframes."""
+        """Register the new keyframe against older keyframes that are both
+        NEAR (position radius) and CO-ORIENTED (optical-axis angle gate) —
+        then accept an edge only if the ICP passes the inlier/error gates
+        AND, optionally, the forward/reverse mutual-consistency check."""
         added = False
         p_new = np.asarray(pose[:3, 3])
+        dir_new = np.asarray(pose[:3, 2])
+        cos_gate = np.cos(np.deg2rad(self.kcfg.loop_max_angle_deg))
         for rec in self.keyframes[: max(0, k - self.kcfg.min_loop_separation)]:
             old_pose = self._kf_pose(rec.index)
             dist = float(np.linalg.norm(np.asarray(old_pose[:3, 3]) - p_new))
             if dist > self.kcfg.loop_radius:
                 continue
+            if float(np.asarray(old_pose[:3, 2]) @ dir_new) < cos_gate:
+                continue
             init = se3.inverse(old_pose) @ pose
             res = self._pair_icp(small, rec.frame, init)
-            if self._edge_ok(res):
-                self.graph = pose_graph.add_edge(
-                    self.graph, rec.index, k, res.transform,
-                    weight=self.kcfg.loop_weight,
-                )
-                added = True
+            if not self._edge_ok(res):
+                continue
+            if self.kcfg.loop_mutual_check and not self._mutually_consistent(
+                small, rec.frame, res.transform
+            ):
+                continue
+            self.graph = pose_graph.add_edge(
+                self.graph, rec.index, k, res.transform,
+                weight=self.kcfg.loop_weight,
+            )
+            added = True
         return added
 
     def _optimize(self) -> None:
