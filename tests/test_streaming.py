@@ -165,6 +165,33 @@ def test_streaming_sharded_matches():
     assert slam.store.total_restored > 100
 
 
+def test_streaming_composes_with_keyframe_backend():
+    """BASELINE config-5 regime (multi-room + backend): the keyframe layer
+    wraps the streaming HashSLAM driver, so the beyond-capacity workload
+    runs with keyframing/loop-closure active on top of evict/restore."""
+    import dataclasses
+
+    from voxelhashing_demo_tpu.models import keyframe_slam
+
+    depths, gt = _out_and_back()
+    base = _stream_cfg(True)
+    cfg = dataclasses.replace(
+        base,
+        keyframes=dataclasses.replace(
+            base.keyframes, min_rotation_deg=8.0, min_translation=0.10,
+        ),
+    )
+    slam = keyframe_slam.KeyframeSLAM(cfg)
+    for d in depths:
+        slam.process(d)
+    ate = metrics.ate_rmse(slam.trajectory(), gt, align=False)
+    assert ate < 0.1, f"keyframe+streaming ATE {ate}"
+    assert len(slam.keyframes) >= 4
+    store = slam._driver.store
+    assert store is not None and store.total_evicted > 0
+    assert store.total_restored > 0
+
+
 def test_streaming_checkpoint_roundtrip(tmp_path):
     """Checkpoint mid-sequence with a live BlockStore; resume continues
     with the same store contents and the same trajectory."""

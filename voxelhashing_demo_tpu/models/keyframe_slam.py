@@ -103,8 +103,10 @@ class KeyframeSLAM:
         self.kcfg = config.keyframes
         self.mesh = mesh
         if mesh is None:
-            self.state = hash_slam.create(config)
-            self._slam_step = hash_slam.make_step(config)
+            # wrap the full HashSLAM driver: the keyframe layer composes
+            # with everything it provides (incl. out-of-core streaming,
+            # the BASELINE config-5 multi-room regime)
+            self._inner = hash_slam.HashSLAM(config)
         else:
             from ..parallel import sharded as sharded_mod
 
@@ -126,24 +128,30 @@ class KeyframeSLAM:
 
     def _run_step(self, depth_raw) -> hash_slam.StepInfo:
         if self.mesh is None:
-            self.state, info = self._slam_step(self.state, depth_raw)
-            return info
+            return self._inner.process(depth_raw)
         return self._sharded.process(depth_raw)
 
     @property
+    def _driver(self):
+        return self._inner if self.mesh is None else self._sharded
+
+    @property
+    def state(self):
+        return self._driver.state
+
+    @state.setter
+    def state(self, value) -> None:
+        self._driver.state = value
+
+    @property
     def _pose(self) -> jnp.ndarray:
-        state = self.state if self.mesh is None else self._sharded.state
-        return state.pose
+        return self._driver.state.pose
 
     def _apply_correction(self, correction) -> None:
-        if self.mesh is None:
-            self.state = self.state._replace(
-                pose=correction @ self.state.pose
-            )
-        else:
-            self._sharded.state = self._sharded.state._replace(
-                pose=jnp.asarray(correction @ self._sharded.state.pose)
-            )
+        d = self._driver
+        d.state = d.state._replace(
+            pose=jnp.asarray(correction @ d.state.pose)
+        )
 
     def _run_ba(self):
         if self.mesh is None:
@@ -317,14 +325,6 @@ class KeyframeSLAM:
                 self._fuse_only = make_fuse_only(self.config)
                 self._render_model = make_render_model(self.config)
             hmap = hash_ops.create(self.config.hash)
-            for rec in self.keyframes:
-                hmap = self._fuse_only(
-                    hmap, jnp.asarray(rec.depth_raw),
-                    jnp.asarray(poses[rec.index]),
-                    jnp.int32(rec.frame_index),
-                )
-            model = self._render_model(hmap, self.state.pose)
-            self.state = self.state._replace(hmap=hmap, model=model)
         else:
             from ..parallel import sharded as sharded_mod
 
@@ -336,16 +336,36 @@ class KeyframeSLAM:
                     self.config, self.mesh
                 )
             hmap = sharded_mod.create_sharded(self.config, self.mesh).hmap
-            for rec in self.keyframes:
-                hmap = self._fuse_only(
-                    hmap, jnp.asarray(rec.depth_raw),
-                    jnp.asarray(poses[rec.index]),
-                    jnp.int32(rec.frame_index),
-                )
-            model = self._render_model(hmap, self._sharded.state.pose)
-            self._sharded.state = self._sharded.state._replace(
-                hmap=hmap, model=model
+        # a streaming store holds geometry fused at the OLD (drifted)
+        # poses; the keyframe depths are the durable record, so the
+        # rebuild streams into a FRESH store: the full keyframe sweep
+        # would not fit the device map (that is why streaming is on), so
+        # eviction interleaves with reintegration exactly as it does live
+        streaming = getattr(self._driver, "store", None) is not None
+        new_store = None
+        if streaming:
+            from ..utils.blockstore import BlockStore
+
+            new_store = BlockStore(self.config.hash)
+        for rec in self.keyframes:
+            hmap = self._fuse_only(
+                hmap, jnp.asarray(rec.depth_raw),
+                jnp.asarray(poses[rec.index]),
+                jnp.int32(rec.frame_index),
             )
+            if streaming:
+                hmap, keys, tsdf, weight, n = self._driver._evict(
+                    hmap, jnp.int32(rec.frame_index)
+                )
+                if int(n) > 0:
+                    new_store.add(
+                        np.asarray(keys), np.asarray(tsdf),
+                        np.asarray(weight),
+                    )
+        model = self._render_model(hmap, self.state.pose)
+        self.state = self.state._replace(hmap=hmap, model=model)
+        if streaming:
+            self._driver.store = new_store
 
     # -- main entry ----------------------------------------------------------
 
