@@ -161,3 +161,41 @@ def test_cli_demo_and_run(tmp_path, capsys):
     res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert res["occupied_blocks"] > 0
     assert res["frames_processed"] == 5
+
+
+def test_cli_resume_and_evaluate(tmp_path, capsys):
+    """run --checkpoint-every / --resume continue a TUM-dataset run
+    identically to the uninterrupted one; evaluate reports matching ATE
+    via timestamp association (VERDICT r1: restart-from-checkpoint)."""
+    from voxelhashing_demo_tpu import cli
+    from voxelhashing_demo_tpu.config import CameraConfig
+    from voxelhashing_demo_tpu.utils import tum
+
+    cam = CameraConfig(width=160, height=120, fx=129.3, fy=129.1,
+                       cx=79.65, cy=59.8)
+    depths, poses = synthetic.make_sequence(cam, 7, trans_amp=0.05,
+                                            rot_amp_deg=2.5)
+    root = str(tmp_path / "seq")
+    tum.export_sequence(root, [np.asarray(d) for d in depths], poses)
+
+    def run(args):
+        cli.main(args)
+        return json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    full = run(["--small", "run", "--dataset", root,
+                "--out", str(tmp_path / "full"), "--checkpoint-every", "3"])
+    assert full["frames"] == 7
+
+    half = run(["--small", "run", "--dataset", root, "--max-frames", "4",
+                "--out", str(tmp_path / "half")])
+    resumed = run(["--small", "run", "--dataset", root,
+                   "--resume", str(tmp_path / "half" / "map.npz"),
+                   "--out", str(tmp_path / "resumed")])
+    assert resumed["frames"] == 3
+    assert abs(resumed["ate_rmse_m"] - full["ate_rmse_m"]) < 1e-4
+
+    ev = run(["evaluate", "--est", str(tmp_path / "full" / "trajectory.txt"),
+              "--gt", os.path.join(root, "groundtruth.txt")])
+    assert ev["pairs"] == 7
+    assert abs(ev["ate_rmse_m"] - full["ate_rmse_m"]) < 1e-3
+    assert ev["rpe_rot_rmse_deg"] < 1.0

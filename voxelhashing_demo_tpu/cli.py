@@ -126,6 +126,7 @@ def cmd_run(args) -> None:
     cam = config.camera
     os.makedirs(args.out, exist_ok=True)
 
+    timestamps = None
     if args.dataset:
         import glob as _glob
 
@@ -159,24 +160,49 @@ def cmd_run(args) -> None:
                                       max_frames=args.max_frames)
             depths, gt = seq.load_all()
         else:
-            from .utils import stream
+            from .utils import stream, tum as tum_mod
 
-            depths, gt = stream.stream_tum(
-                args.dataset, cam.width, cam.height,
-                max_frames=args.max_frames,
-            )
+            seq = tum_mod.TUMSequence(args.dataset,
+                                      max_frames=args.max_frames)
+            paths = [os.path.join(args.dataset, rel)
+                     for _, rel, _ in seq.entries]
+            timestamps = [t for t, _, _ in seq.entries]
+            gt = ([p for _, _, p in seq.entries] if seq.has_gt else None)
+            depths = stream.FramePipeline(paths, cam.width, cam.height)
     else:
         n = args.synthetic or 30
         depths, gt = synthetic.make_sequence(cam, n, trans_amp=0.10,
                                              rot_amp_deg=5.0)
-
     mesh = None
     if args.devices > 1:
         from .parallel import sharded as sharded_mod
 
         mesh = sharded_mod.make_mesh(args.devices)
 
-    if args.backend == "keyframe":
+    resumed_frames = 0
+    if args.resume:
+        # restart-from-checkpoint (failure recovery, SURVEY §5): the
+        # remaining frames of the sequence continue the restored state
+        if args.backend == "keyframe":
+            raise SystemExit("--resume supports the hash backend")
+        if mesh is not None:
+            slam = ck.load_sharded_slam(args.resume, mesh)
+        else:
+            slam, _ = ck.load_slam(args.resume)
+        config = slam.config
+        cam = config.camera
+        resumed_frames = len(slam.trajectory)
+        # skip the already-processed prefix (gt stays full: final ATE
+        # compares the whole trajectory, restored + new, against it)
+        from .utils import stream as stream_mod
+
+        if isinstance(depths, stream_mod.FramePipeline):
+            depths = stream_mod.FramePipeline(
+                depths.paths[resumed_frames:], cam.width, cam.height
+            )
+        else:
+            depths = depths[resumed_frames:]
+    elif args.backend == "keyframe":
         slam = keyframe_slam.KeyframeSLAM(config, mesh=mesh)
     elif mesh is not None:
         from .parallel import sharded as sharded_mod
@@ -185,12 +211,16 @@ def cmd_run(args) -> None:
     else:
         slam = hash_slam.HashSLAM(config)
 
+    def _save(name):
+        ck.save_slam(os.path.join(args.out, name), slam,
+                     graph=getattr(slam, "graph", None))
+
     records = []
     t0 = time.perf_counter()
     for i, d in enumerate(depths):
         info = slam.process(jnp.asarray(np.asarray(d, dtype=np.uint16)))
         records.append({
-            "frame": i,
+            "frame": resumed_frames + i,
             "tracked": bool(info.tracked),
             "icp_error": float(info.icp_error),
             "icp_iters": int(info.icp_iters),
@@ -198,6 +228,13 @@ def cmd_run(args) -> None:
             "blocks_active": int(info.blocks_active),
             "blocks_freed": int(info.blocks_freed),
         })
+        if (
+            args.checkpoint_every
+            and args.checkpoint
+            and args.backend != "keyframe"
+            and (i + 1) % args.checkpoint_every == 0
+        ):
+            _save(args.checkpoint)
     jax.block_until_ready(
         slam.state.pose if hasattr(slam, "state") else None
     )
@@ -206,7 +243,8 @@ def cmd_run(args) -> None:
     trajectory = (slam.trajectory() if callable(getattr(slam, "trajectory"))
                   else slam.trajectory)
     ck.export_trajectory_tum(
-        os.path.join(args.out, "trajectory.txt"), trajectory
+        os.path.join(args.out, "trajectory.txt"), trajectory,
+        timestamps=timestamps[: len(trajectory)] if timestamps else None,
     )
     with open(os.path.join(args.out, "metrics.jsonl"), "w") as f:
         for r in records:
@@ -330,6 +368,34 @@ def cmd_info(args) -> None:
     _emit(result)
 
 
+def cmd_evaluate(args) -> None:
+    """TUM-tooling-style trajectory evaluation: associate two TUM-format
+    trajectory files by timestamp, report ATE RMSE and RPE."""
+    from .utils import metrics, tum
+
+    est_list = tum._parse_list(args.est)
+    gt_list = tum._parse_list(args.gt)
+    pairs = tum.associate(est_list, gt_list, max_dt=args.max_dt)
+    if len(pairs) < 2:
+        raise SystemExit(
+            f"only {len(pairs)} timestamp associations (need >= 2)"
+        )
+    est = [tum.TUMSequence._pose_from(d) for _, d, _, _ in pairs]
+    gt = [tum.TUMSequence._pose_from(g) for _, _, _, g in pairs]
+    result = {
+        "command": "evaluate",
+        "pairs": len(pairs),
+        "ate_rmse_m": round(metrics.ate_rmse(est, gt, align=True), 6),
+        "ate_rmse_unaligned_m": round(
+            metrics.ate_rmse(est, gt, align=False), 6
+        ),
+    }
+    rpe_t, rpe_r = metrics.rpe(est, gt, delta=args.rpe_delta)
+    result["rpe_trans_rmse_m"] = round(float(rpe_t), 6)
+    result["rpe_rot_rmse_deg"] = round(float(rpe_r), 6)
+    _emit(result)
+
+
 def cmd_bench(args) -> None:
     sys.path.insert(0, os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
@@ -369,6 +435,11 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--out", default="run_out")
     r.add_argument("--checkpoint", default="map.npz",
                    help="checkpoint filename (empty to skip)")
+    r.add_argument("--checkpoint-every", type=int, default=0, metavar="N",
+                   help="also checkpoint every N frames (restart story)")
+    r.add_argument("--resume", default="",
+                   help="restore a checkpoint and continue the sequence "
+                        "from the frame after its last pose")
     r.add_argument("--render-last", action="store_true")
     r.set_defaults(fn=cmd_run)
 
@@ -387,6 +458,16 @@ def build_parser() -> argparse.ArgumentParser:
     i = sub.add_parser("info", help="checkpoint summary")
     i.add_argument("--checkpoint", required=True)
     i.set_defaults(fn=cmd_info)
+
+    e = sub.add_parser("evaluate",
+                       help="ATE/RPE of a TUM-format trajectory vs GT")
+    e.add_argument("--est", required=True,
+                   help="estimated trajectory (TUM format, e.g. the run "
+                        "command's trajectory.txt)")
+    e.add_argument("--gt", required=True, help="ground truth (TUM format)")
+    e.add_argument("--max-dt", type=float, default=0.02)
+    e.add_argument("--rpe-delta", type=int, default=1)
+    e.set_defaults(fn=cmd_evaluate)
 
     b = sub.add_parser("bench", help="run the throughput benchmark")
     b.set_defaults(fn=cmd_bench)

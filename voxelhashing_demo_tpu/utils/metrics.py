@@ -39,14 +39,28 @@ def ate_rmse(est_poses, gt_poses, align: bool = True) -> float:
     return float(np.sqrt(np.mean(np.sum(err * err, axis=-1))))
 
 
-def rpe_rmse(est_poses, gt_poses, delta: int = 1) -> float:
-    """Relative pose error (translation) RMSE over ``delta``-frame pairs."""
-    errs = []
+def rpe(est_poses, gt_poses, delta: int = 1):
+    """Relative pose error over ``delta``-frame pairs: (translation RMSE
+    in meters, rotation RMSE in degrees) — the TUM benchmark's drift
+    metric pair."""
+    terrs, rerrs = [], []
     for i in range(len(est_poses) - delta):
         e0, e1 = np.asarray(est_poses[i]), np.asarray(est_poses[i + delta])
         g0, g1 = np.asarray(gt_poses[i]), np.asarray(gt_poses[i + delta])
         rel_e = np.linalg.inv(e0) @ e1
         rel_g = np.linalg.inv(g0) @ g1
         d = np.linalg.inv(rel_g) @ rel_e
-        errs.append(np.sum(d[:3, 3] ** 2))
-    return float(np.sqrt(np.mean(errs))) if errs else 0.0
+        terrs.append(np.sum(d[:3, 3] ** 2))
+        cos = np.clip((np.trace(d[:3, :3]) - 1.0) / 2.0, -1.0, 1.0)
+        rerrs.append(np.degrees(np.arccos(cos)) ** 2)
+    if not terrs:
+        return 0.0, 0.0
+    return (
+        float(np.sqrt(np.mean(terrs))),
+        float(np.sqrt(np.mean(rerrs))),
+    )
+
+
+def rpe_rmse(est_poses, gt_poses, delta: int = 1) -> float:
+    """Relative pose error (translation) RMSE over ``delta``-frame pairs."""
+    return rpe(est_poses, gt_poses, delta)[0]
