@@ -130,10 +130,29 @@ def cmd_run(args) -> None:
     if args.dataset:
         import glob as _glob
 
-        is_icl = not os.path.exists(
-            os.path.join(args.dataset, "depth.txt")
-        ) and bool(_glob.glob(os.path.join(args.dataset, "*.depth")))
-        if is_icl:
+        has_tum_list = os.path.exists(os.path.join(args.dataset, "depth.txt"))
+        is_scannet = not has_tum_list and os.path.isdir(
+            os.path.join(args.dataset, "depth")
+        )
+        is_icl = not has_tum_list and not is_scannet and bool(
+            _glob.glob(os.path.join(args.dataset, "*.depth"))
+        )
+        if is_scannet:
+            # extracted ScanNet scene (depth/ mm PNGs + pose/ + intrinsic/);
+            # the per-scene intrinsic file is authoritative — it carries the
+            # mm depth scale and calibration the engine must run with
+            import dataclasses as _dc
+
+            from .utils import scannet as scannet_mod
+
+            seq = scannet_mod.ScanNetSequence(args.dataset,
+                                              max_frames=args.max_frames)
+            config = _dc.replace(config, camera=seq.cam)
+            cam = seq.cam
+            depths, gt = seq.load_all()
+            if not seq.has_gt or any(p is None for p in gt):
+                gt = None
+        elif is_icl:
             # native ICL-NUIM format (euclidean .depth + POV-Ray cams).
             # The configured camera is kept when its resolution matches
             # the files; a 640x480 dataset takes the ICL calibration.
@@ -421,7 +440,10 @@ def build_parser() -> argparse.ArgumentParser:
     d.set_defaults(fn=cmd_demo)
 
     r = sub.add_parser("run", help="full SLAM over a sequence")
-    r.add_argument("--dataset", help="TUM sequence directory")
+    r.add_argument("--dataset",
+                   help="sequence directory: TUM (depth.txt), native "
+                        "ICL-NUIM (*.depth), or extracted ScanNet "
+                        "(depth/ + pose/ + intrinsic/), auto-detected")
     r.add_argument("--synthetic", type=int, metavar="N",
                    help="use N synthetic frames instead of a dataset")
     r.add_argument("--max-frames", type=int, default=None)
