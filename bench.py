@@ -63,9 +63,18 @@ def _steady_state_fps(config, hash_slam, synthetic):
     return measure / (time.perf_counter() - t0)
 
 
-def _long_run(config, hash_slam, synthetic, metrics, num_frames=200):
+def _long_run(config, hash_slam, synthetic, metrics, num_frames=200,
+              chunk=8):
     """Growing-map room sweep with Kinect-class sensor noise: the honest
-    workload (BASELINE configs 3/5 regime)."""
+    workload (BASELINE configs 3/5 regime).
+
+    Frames dispatch in chunks of ``chunk`` via ``process_chunk`` (one
+    ``lax.scan`` dispatch per chunk, per-frame results bit-identical to
+    per-frame ``process`` — tests/test_stream.py): the per-dispatch tunnel
+    overhead (~1.6 ms) is real host cost, not chip cost, and the chunked
+    path is the TPU-native way to run a sequence.  The per-frame-dispatch
+    number is reported alongside as ``fps_per_frame_dispatch``.
+    """
     import numpy as np
 
     cam = config.camera
@@ -74,14 +83,34 @@ def _long_run(config, hash_slam, synthetic, metrics, num_frames=200):
     )
     depths = [jnp.asarray(d) for d in depths]
 
+    # --- per-frame dispatch (the interactive-latency mode) ---------------
     slam = hash_slam.HashSLAM(config)
     info = slam.process(depths[0])  # compile + first alloc off the clock
     _sync(info.icp_error)
-
     t0 = time.perf_counter()
     for d in depths[1:]:
         info = slam.process(d)
     _sync(info.icp_error)
+    fps_single = (num_frames - 1) / (time.perf_counter() - t0)
+
+    # --- chunked dispatch (the throughput mode; headline) ----------------
+    from voxelhashing_demo_tpu.models.hash_slam import make_scan_step
+
+    slam = hash_slam.HashSLAM(config)
+    info = slam.process(depths[0])
+    _sync(info.icp_error)
+    slam._scan_step = make_scan_step(config)
+    stack0 = jnp.stack(depths[1 : 1 + chunk])
+    slam._scan_step.lower(slam.state, stack0).compile()  # AOT, off-clock
+
+    t0 = time.perf_counter()
+    i = 1
+    while i + chunk <= num_frames:
+        infos = slam.process_chunk(jnp.stack(depths[i : i + chunk]))
+        i += chunk
+    for d in depths[i:]:
+        infos = slam.process(d)
+    _sync(jax.tree.leaves(infos)[1])
     dt = time.perf_counter() - t0
 
     fps = (num_frames - 1) / dt
@@ -89,6 +118,8 @@ def _long_run(config, hash_slam, synthetic, metrics, num_frames=200):
     used = config.hash.num_blocks - int(slam.state.hmap.free_top)
     return {
         "fps": round(fps, 3),
+        "fps_per_frame_dispatch": round(fps_single, 3),
+        "chunk": chunk,
         "frames": num_frames,
         "ate_rmse_m": round(float(ate), 5),
         "tracked": sum(bool(i.tracked) for i in slam.infos),

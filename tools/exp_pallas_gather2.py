@@ -15,19 +15,25 @@ from jax.experimental.pallas import tpu as pltpu
 H, W = 480, 640
 
 
+def _sync(x):
+    """Value fetch: jax.block_until_ready is a NO-OP on the axon tunnel."""
+    import numpy as np
+
+    return float(np.asarray(jax.tree.leaves(x)[0]).ravel()[0])
+
+
 def timeit(name, fn, *args, n=50):
     try:
-        out = fn(*args)
-        jax.block_until_ready(out)
+        _sync(fn(*args))
     except Exception as e:  # noqa: BLE001
         print(f"{name:56s} FAILED: {type(e).__name__}: {str(e)[:100]}")
         return None
     t0 = time.perf_counter()
     for _ in range(n):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _sync(out)
     dt = (time.perf_counter() - t0) / n
-    print(f"{name:56s} {dt*1e3:9.3f} ms")
+    print(f"{name:56s} {dt*1e3:9.3f} ms", flush=True)
     return out
 
 

@@ -25,19 +25,25 @@ H, W = 480, 640
 N = 128 * 512
 
 
+def _sync(x):
+    """Value fetch: jax.block_until_ready is a NO-OP on the axon tunnel."""
+    import numpy as np
+
+    return float(np.asarray(jax.tree.leaves(x)[0]).ravel()[0])
+
+
 def timeit(name, fn, *args, n=20):
     try:
-        out = fn(*args)
-        jax.block_until_ready(out)
+        _sync(fn(*args))
     except Exception as e:  # noqa: BLE001
         print(f"{name:52s} FAILED: {type(e).__name__}: {str(e)[:120]}")
         return None
     t0 = time.perf_counter()
     for _ in range(n):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _sync(out)
     dt = (time.perf_counter() - t0) / n
-    print(f"{name:52s} {dt*1e3:9.3f} ms")
+    print(f"{name:52s} {dt*1e3:9.3f} ms", flush=True)
     return out
 
 
