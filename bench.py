@@ -36,11 +36,15 @@ def _sync(x) -> float:
     On the axon (remote TPU tunnel) platform ``jax.block_until_ready`` is
     a NO-OP — it returns before remote execution finishes; only a value
     fetch actually waits.  Every timed section here must close with a
-    fetch of a scalar that depends on the whole chain.
+    fetch of a scalar that depends on the whole chain.  The scalar is
+    sliced device-side first so the transfer cost stays O(1) even when
+    ``x`` is an image-sized array.
     """
     import numpy as np
 
-    return float(np.asarray(x).ravel()[0])
+    if hasattr(x, "ravel"):
+        x = x.ravel()[0]
+    return float(np.asarray(x))
 
 
 def _steady_state_fps(config, hash_slam, synthetic):

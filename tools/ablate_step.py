@@ -14,6 +14,7 @@ import time
 sys.path.insert(0, ".")
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 
 from __graft_entry__ import flagship_config
@@ -33,11 +34,11 @@ def run(name, config):
     slam = hash_slam.HashSLAM(config)
     for i in range(WARM):
         slam.process(depths[i % N_UNIQUE])
-    jax.block_until_ready(slam.state.pose)
+    np.asarray(slam.state.pose)  # fetch: block_until_ready is a no-op on axon
     t0 = time.perf_counter()
     for i in range(MEASURE):
         slam.process(depths[(WARM + i) % N_UNIQUE])
-    jax.block_until_ready(slam.state.pose)
+    np.asarray(slam.state.pose)  # fetch: block_until_ready is a no-op on axon
     dt = (time.perf_counter() - t0) / MEASURE
     print(f"{name:34s} {dt*1000:8.2f} ms/frame  {1.0/dt:7.1f} fps")
     return dt

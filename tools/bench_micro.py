@@ -1,20 +1,32 @@
-"""Microbenchmarks of the primitive ops that dominate the SLAM frame."""
+"""Microbenchmarks of the primitive ops that dominate the SLAM frame.
+
+All timing is value-fetch-forced: ``jax.block_until_ready`` is a NO-OP on
+the axon TPU tunnel (returns before remote execution), so the per-op cost
+is the time for n back-to-back dispatches closed by one scalar fetch.
+"""
 
 import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
+
+
+def _fetch(x):
+    leaf = jax.tree.leaves(x)[0]
+    # slice device-side first: fetching one element keeps the (fixed)
+    # transfer cost independent of the op's output size
+    return np.asarray(leaf.ravel()[0])
 
 
 def timeit(name, fn, *args, n=10):
-    out = fn(*args)
-    jax.block_until_ready(out)
+    _fetch(fn(*args))
     t0 = time.perf_counter()
     for _ in range(n):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _fetch(out)
     dt = (time.perf_counter() - t0) / n
-    print(f"{name:45s} {dt*1e3:9.2f} ms")
+    print(f"{name:45s} {dt*1e3:9.2f} ms", flush=True)
     return out
 
 

@@ -19,7 +19,10 @@ def _sync(x):
     """Value fetch: jax.block_until_ready is a NO-OP on the axon tunnel."""
     import numpy as np
 
-    return float(np.asarray(jax.tree.leaves(x)[0]).ravel()[0])
+    leaf = jax.tree.leaves(x)[0]
+    if hasattr(leaf, "ravel"):
+        leaf = leaf.ravel()[0]  # device-side slice: O(1) transfer
+    return float(np.asarray(leaf))
 
 
 def timeit(name, fn, *args, n=50):

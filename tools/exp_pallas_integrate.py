@@ -40,7 +40,10 @@ VOXEL = 0.02
 
 
 def sync(x):
-    return float(np.asarray(jax.tree.leaves(x)[0]).ravel()[0])
+    leaf = jax.tree.leaves(x)[0]
+    if hasattr(leaf, "ravel"):
+        leaf = leaf.ravel()[0]  # device-side slice: O(1) transfer
+    return float(np.asarray(leaf))
 
 
 def timeit(name, fn, *args, n=20):

@@ -21,13 +21,24 @@ from voxelhashing_demo_tpu.ops import preprocess as pre_ops
 from voxelhashing_demo_tpu.utils import synthetic
 
 
+def _fetch(x):
+    """Value fetch: jax.block_until_ready is a NO-OP on the axon tunnel
+    (returns before remote execution) — only a fetch actually waits."""
+    import numpy as _np
+
+    leaf = jax.tree.leaves(x)[0]
+    if hasattr(leaf, "ravel"):
+        leaf = leaf.ravel()[0]  # device-side slice: O(1) transfer
+    return _np.asarray(leaf)
+
+
 def timeit(name, fn, *args, n=10, **kw):
     out = fn(*args, **kw)
-    jax.block_until_ready(out)
+    _fetch(out)
     t0 = time.perf_counter()
     for _ in range(n):
         out = fn(*args, **kw)
-    jax.block_until_ready(out)
+    _fetch(out)
     dt = (time.perf_counter() - t0) / n
     print(f"{name:42s} {dt*1000:9.2f} ms")
     return out

@@ -24,7 +24,10 @@ import numpy as np
 
 
 def sync(x):
-    return float(np.asarray(jax.tree.leaves(x)[0]).ravel()[0])
+    leaf = jax.tree.leaves(x)[0]
+    if hasattr(leaf, "ravel"):
+        leaf = leaf.ravel()[0]  # device-side slice: O(1) transfer
+    return float(np.asarray(leaf))
 
 
 def timeit(fn, *args, n=20):
@@ -135,14 +138,13 @@ def measure_stages(config):
         ).depth,
         state.hmap, active, state.pose,
     )
-    # whole fused step for reference
-    step = hash_slam.make_step(config)
+    # whole fused step for reference.  make_step DONATES the state buffers
+    # (hash_slam.make_step): every call must consume the previous call's
+    # returned state — reusing a donated input is a TPU backend error.
+    step = slam._step  # reuse the sweep's compiled step (same donation)
     st = slam.state
-
-    def full(s, d):
-        return step(s, d)
-
-    sync(full(st, depths[-1])[1].icp_error)
+    st, info = step(st, depths[-1])  # warm
+    sync(info.icp_error)
     t0 = time.perf_counter()
     n = 20
     for _ in range(n):
