@@ -153,6 +153,12 @@ class HashConfig:
     integrate_chunk: int = 128
     # packing bounds for block coords -> int32 key (10 bits per axis, biased)
     key_bits: int = 10
+    # Pallas VMEM-window depth gather in the integrate chunk
+    # (ops/pallas_gather.py): beats XLA's HBM-latency gather when Mosaic
+    # lowers the window take_along_axis forms; off by default — the XLA
+    # path is the semantics reference (and integrates the rare
+    # near-range voxels whose footprint exceeds the window)
+    use_pallas_gather: bool = False
 
     @property
     def voxels_per_block(self) -> int:

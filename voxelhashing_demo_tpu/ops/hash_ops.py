@@ -408,12 +408,25 @@ def _integrate_rows(
 
     u = jnp.clip(ij[..., 0], 0, cam.width - 1)
     v = jnp.clip(ij[..., 1], 0, cam.height - 1)
-    depth = depth_m[v, u]                                  # (C, V)
+    row_valid = ptrs != FREE_PTR
+    if cfg.use_pallas_gather and C % 8 == 0:
+        # VMEM-window gather (ops/pallas_gather.py): the image stays in
+        # VMEM instead of paying HBM latency per voxel; voxels outside
+        # their block's window (near-range only) come back uncovered and
+        # are skipped this frame
+        from . import pallas_gather
+
+        depth, covered = pallas_gather.gather_depth_window(
+            depth_m, v, u, in_img & row_valid[:, None],
+            interpret=jax.default_backend() == "cpu",
+        )
+        in_img = covered
+    else:
+        depth = depth_m[v, u]                              # (C, V)
 
     z = pc[..., 2]
     sdf = depth - z
     trunc = fusion.truncation + fusion.trunc_scale * depth
-    row_valid = ptrs != FREE_PTR
     valid = (
         row_valid[:, None]
         & in_img
