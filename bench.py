@@ -100,12 +100,21 @@ def _long_run(config, hash_slam, synthetic, metrics, num_frames=200,
     # --- chunked dispatch (the throughput mode; headline) ----------------
     from voxelhashing_demo_tpu.models.hash_slam import make_scan_step
 
+    # Warm the scan step OFF the clock by really calling it on a throwaway
+    # run sharing the same jit object (jit.lower().compile() does not feed
+    # the call cache, so an AOT warmup still left the compile on the clock).
+    scan_step = make_scan_step(config)
+    warm = hash_slam.HashSLAM(config)
+    warm._scan_step = scan_step
+    warm.process(depths[0])
+    infos = warm.process_chunk(jnp.stack(depths[1 : 1 + chunk]))
+    _sync(jax.tree.leaves(infos)[0])
+    del warm
+
     slam = hash_slam.HashSLAM(config)
+    slam._scan_step = scan_step
     info = slam.process(depths[0])
     _sync(info.icp_error)
-    slam._scan_step = make_scan_step(config)
-    stack0 = jnp.stack(depths[1 : 1 + chunk])
-    slam._scan_step.lower(slam.state, stack0).compile()  # AOT, off-clock
 
     t0 = time.perf_counter()
     i = 1

@@ -40,6 +40,20 @@ def timeit(fn, *args, n=20):
     return (time.perf_counter() - t0) / n * 1e3
 
 
+def timeit_donated(fn, hmap, *args, n=20):
+    """Time a map-updating stage with the map DONATED and rethreaded, like
+    the real step: without donation each call copies the whole tsdf+weight
+    state (268 MB at flagship scale), which is what the step never pays."""
+    f = jax.jit(fn, donate_argnums=0)
+    m = f(hmap, *args)
+    sync(jax.tree.leaves(m)[0])
+    t0 = time.perf_counter()
+    for _ in range(n):
+        m = f(m, *args)
+    sync(jax.tree.leaves(m)[0])
+    return (time.perf_counter() - t0) / n * 1e3
+
+
 def measure_primitives():
     """Memory-system primitives that bound every stage."""
     key = jax.random.PRNGKey(0)
@@ -114,29 +128,31 @@ def measure_stages(config):
         ).transform,
         frame, state.model,
     )
-    stages["alloc"] = timeit(
-        lambda h, f, T: hash_ops.allocate_from_frame(
-            h, f, T, cam, config.hash, config.fusion
-        )[0].free_top,
-        state.hmap, frame, state.pose,
-    )
     stages["compact_visible"] = timeit(
         lambda h, T: hash_ops.compact_visible(
             h, config.hash, T, cam, config.fusion
         ).count,
         state.hmap, state.pose,
     )
-    stages["integrate"] = timeit(
-        lambda h, a, d, T: hash_ops.integrate(
-            h, a, config.hash, d, T, cam, config.fusion
-        ).weight,
-        state.hmap, active, frame.depth, state.pose,
-    )
     stages["splat_raycast"] = timeit(
         lambda h, a, T: splat_ops.splat_raycast(
             h, a, config.hash, T, cam, config.raycast, config.fusion
         ).depth,
         state.hmap, active, state.pose,
+    )
+    # map-updating stages last: they donate + rethread copies of the map
+    stages["alloc"] = timeit_donated(
+        lambda h, f, T: hash_ops.allocate_from_frame(
+            h, f, T, cam, config.hash, config.fusion
+        )[0],
+        jax.tree.map(jnp.copy, state.hmap), frame, state.pose,
+    )
+    stages["integrate"] = timeit_donated(
+        lambda h, a, d, T: hash_ops.integrate(
+            h, a, config.hash, d, T, cam, config.fusion
+        ),
+        jax.tree.map(jnp.copy, state.hmap), active, frame.depth,
+        state.pose,
     )
     # whole fused step for reference.  make_step DONATES the state buffers
     # (hash_slam.make_step): every call must consume the previous call's

@@ -65,6 +65,11 @@ class HashMap(NamedTuple):
     tsdf: jnp.ndarray         # [num_blocks, 512] float32
     weight: jnp.ndarray       # [num_blocks, 512] float32
     last_seen: jnp.ndarray    # [num_blocks] int32 frame idx last in frustum
+    # min |sdf| over weighted voxels per row (inf = no weighted voxel):
+    # maintained by integrate/insert/restore so the splat can skip blocks
+    # with no surface-band voxel without re-reading their rows — those
+    # blocks contribute zero scatter updates, so the filter is bit-exact
+    band_min: jnp.ndarray     # [num_blocks] float32
 
 
 class ActiveSet(NamedTuple):
@@ -89,6 +94,7 @@ def create(cfg: HashConfig) -> HashMap:
         tsdf=jnp.zeros((cfg.num_blocks, V), dtype=jnp.float32),
         weight=jnp.zeros((cfg.num_blocks, V), dtype=jnp.float32),
         last_seen=jnp.zeros((cfg.num_blocks,), dtype=jnp.int32),
+        band_min=jnp.full((cfg.num_blocks,), jnp.inf, dtype=jnp.float32),
     )
 
 
@@ -280,6 +286,7 @@ def insert_blocks(
     last_seen = hmap.last_seen.at[row_idx].set(
         jnp.int32(frame_idx), mode="drop"
     )
+    band_min = hmap.band_min.at[row_idx].set(jnp.inf, mode="drop")
 
     return (
         hmap._replace(
@@ -290,6 +297,7 @@ def insert_blocks(
             tsdf=tsdf,
             weight=weight,
             last_seen=last_seen,
+            band_min=band_min,
         ),
         n_alloc,
     )
@@ -452,7 +460,11 @@ def _integrate_rows(
     row_idx = jnp.where(row_valid, ptrs, hmap.tsdf.shape[0])
     tsdf = hmap.tsdf.at[row_idx].set(fused, mode="drop")
     weight = hmap.weight.at[row_idx].set(new_w, mode="drop")
-    return hmap._replace(tsdf=tsdf, weight=weight)
+    row_min = jnp.min(
+        jnp.where(new_w > 0, jnp.abs(fused), jnp.inf), axis=1
+    )
+    band_min = hmap.band_min.at[row_idx].set(row_min, mode="drop")
+    return hmap._replace(tsdf=tsdf, weight=weight, band_min=band_min)
 
 
 def integrate(
@@ -694,7 +706,11 @@ def restore_blocks(
     weight = hmap.weight.at[m_idx].set(
         jnp.where(found[:, None], merged_w, old_w), mode="drop"
     )
-    hmap = hmap._replace(tsdf=tsdf, weight=weight)
+    m_min = jnp.min(
+        jnp.where(merged_w > 0, jnp.abs(merged_t), jnp.inf), axis=1
+    )
+    band_min = hmap.band_min.at[m_idx].set(m_min, mode="drop")
+    hmap = hmap._replace(tsdf=tsdf, weight=weight, band_min=band_min)
 
     # --- insert the genuinely new keys, payload following the sort ---------
     want = (keys != EMPTY_KEY) & ~found
@@ -736,11 +752,17 @@ def restore_blocks(
     bucket_fill = hmap.bucket_fill.at[fill_add_idx].add(1, mode="drop")
 
     row_idx = jnp.where(ok, new_ptrs, N)
-    tsdf = hmap.tsdf.at[row_idx].set(tsdf_rows[order], mode="drop")
-    weight = hmap.weight.at[row_idx].set(weight_rows[order], mode="drop")
+    t_sorted = tsdf_rows[order]
+    w_sorted = weight_rows[order]
+    tsdf = hmap.tsdf.at[row_idx].set(t_sorted, mode="drop")
+    weight = hmap.weight.at[row_idx].set(w_sorted, mode="drop")
     last_seen = hmap.last_seen.at[row_idx].set(
         jnp.int32(frame_idx), mode="drop"
     )
+    ins_min = jnp.min(
+        jnp.where(w_sorted > 0, jnp.abs(t_sorted), jnp.inf), axis=1
+    )
+    band_min = hmap.band_min.at[row_idx].set(ins_min, mode="drop")
 
     # accepted mask back in input order: inserted-now OR merged-into-existing
     ok_in = jnp.zeros((R,), dtype=bool).at[order].set(ok)
@@ -754,6 +776,7 @@ def restore_blocks(
             tsdf=tsdf,
             weight=weight,
             last_seen=last_seen,
+            band_min=band_min,
         ),
         accepted,
     )

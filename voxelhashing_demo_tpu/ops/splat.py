@@ -249,6 +249,32 @@ def finalize_depth(
     )
 
 
+def surface_filter(
+    hmap: HashMap, active: ActiveSet, band: float
+) -> ActiveSet:
+    """Compact the active set down to blocks that contain at least one
+    surface-band voxel (``hmap.band_min`` < band, maintained by
+    integrate/insert/restore).
+
+    Bit-exact for splatting: a filtered-out block has no voxel satisfying
+    ``weight > 0 & |sdf| < band``, so it contributes zero scatter updates
+    either way — the filter only removes their (masked but still paid,
+    ~12 ns/update) scatter traffic and row gathers."""
+    A = active.ptrs.shape[0]
+    safe = jnp.clip(active.ptrs, 0, hmap.band_min.shape[0] - 1)
+    live = (active.ptrs != FREE_PTR) & (hmap.band_min[safe] < band)
+    rank = jnp.cumsum(live.astype(jnp.int32)) - 1
+    idx = jnp.where(live, rank, A)
+    blocks = jnp.zeros_like(active.blocks).at[idx].set(
+        active.blocks, mode="drop"
+    )
+    ptrs = jnp.full_like(active.ptrs, FREE_PTR).at[idx].set(
+        active.ptrs, mode="drop"
+    )
+    return ActiveSet(blocks=blocks, ptrs=ptrs,
+                     count=jnp.sum(live.astype(jnp.int32)))
+
+
 @partial(jax.jit, static_argnames=("cfg", "cam", "rc", "fusion"))
 def splat_raycast(
     hmap: HashMap,
@@ -261,5 +287,6 @@ def splat_raycast(
 ) -> RaycastOutput:
     """Surface prediction of the hashed TSDF from pose ``T_wc`` (the fast
     frame-to-model path; chunked row gathers + scatter, no marching)."""
-    depth = splat_depth_from_map(hmap, active, cfg, T_wc, cam, rc, fusion)
+    surf = surface_filter(hmap, active, rc.splat_band * fusion.voxel_size)
+    depth = splat_depth_from_map(hmap, surf, cfg, T_wc, cam, rc, fusion)
     return finalize_depth(depth, cam, rc, fusion)

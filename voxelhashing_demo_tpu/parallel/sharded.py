@@ -87,6 +87,7 @@ def _map_spec() -> HashMap:
         tsdf=P(AXIS),
         weight=P(AXIS),
         last_seen=P(AXIS),
+        band_min=P(AXIS),
     )
 
 

@@ -211,6 +211,12 @@ def load_slam(
             hmap_np["last_seen"] = np.zeros(
                 z["state.hmap.free_list"].shape, dtype=np.int32
             )
+        if "band_min" not in hmap_np:
+            # field added after format v2: recompute from the rows
+            w, t = hmap_np["weight"], hmap_np["tsdf"]
+            hmap_np["band_min"] = np.where(
+                w > 0, np.abs(t), np.inf
+            ).min(axis=1).astype(np.float32)
         mesh_n = int(z["mesh_n"]) if "mesh_n" in z else 1
         if mesh_n > 1:
             hmap = _sharded_map_to_single(hmap_np, config, mesh_n)
@@ -288,6 +294,14 @@ def load_sharded_slam(path: str, mesh=None):
             hmap_kwargs["last_seen"] = jax.device_put(
                 jnp.zeros(z["state.hmap.free_list"].shape, jnp.int32),
                 NamedSharding(mesh, map_spec.last_seen),
+            )
+        if "band_min" not in hmap_kwargs:
+            w = np.asarray(z["state.hmap.weight"])
+            t = np.asarray(z["state.hmap.tsdf"])
+            hmap_kwargs["band_min"] = jax.device_put(
+                jnp.asarray(np.where(w > 0, np.abs(t), np.inf)
+                            .min(axis=1).astype(np.float32)),
+                NamedSharding(mesh, map_spec.band_min),
             )
         state_spec = sharded._state_spec()
         model = pre_ops.Frame(
