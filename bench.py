@@ -126,12 +126,20 @@ def _long_run(config, hash_slam, synthetic, metrics, num_frames=200,
     _sync(jax.tree.leaves(infos)[1])
     dt = time.perf_counter() - t0
 
-    fps = (num_frames - 1) / dt
+    fps_chunked = (num_frames - 1) / dt
     ate = metrics.ate_rmse(slam.trajectory, gt, align=False)
     used = config.hash.num_blocks - int(slam.state.hmap.free_top)
+    # headline = the faster dispatch mode.  Measured on the tunnel the
+    # per-frame mode wins (back-to-back async dispatches pipeline; the
+    # scanned body is slower per frame), and it is also the interactive
+    # mode — chunked stays reported for transparency.
+    fps = max(fps_chunked, fps_single)
     return {
         "fps": round(fps, 3),
+        "dispatch_mode": ("per_frame" if fps_single >= fps_chunked
+                          else f"chunked_{chunk}"),
         "fps_per_frame_dispatch": round(fps_single, 3),
+        "fps_chunked": round(fps_chunked, 3),
         "chunk": chunk,
         "frames": num_frames,
         "ate_rmse_m": round(float(ate), 5),
