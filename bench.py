@@ -72,12 +72,13 @@ def _long_run(config, hash_slam, synthetic, metrics, num_frames=200,
     """Growing-map room sweep with Kinect-class sensor noise: the honest
     workload (BASELINE configs 3/5 regime).
 
-    Frames dispatch in chunks of ``chunk`` via ``process_chunk`` (one
-    ``lax.scan`` dispatch per chunk, per-frame results bit-identical to
-    per-frame ``process`` — tests/test_stream.py): the per-dispatch tunnel
-    overhead (~1.6 ms) is real host cost, not chip cost, and the chunked
-    path is the TPU-native way to run a sequence.  The per-frame-dispatch
-    number is reported alongside as ``fps_per_frame_dispatch``.
+    Both dispatch modes are measured and the HEADLINE IS THE FASTER ONE
+    (currently per-frame: back-to-back async dispatches pipeline on the
+    tunnel and the scanned body is slower per frame — BENCH_NOTES.md
+    item 5).  Chunked ``process_chunk`` (one ``lax.scan`` dispatch per
+    ``chunk`` frames, per-frame results bit-identical to per-frame
+    ``process`` — tests/test_stream.py) stays reported alongside as
+    ``fps_chunked`` for transparency.
     """
     import numpy as np
 

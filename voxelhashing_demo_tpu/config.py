@@ -154,10 +154,12 @@ class HashConfig:
     # packing bounds for block coords -> int32 key (10 bits per axis, biased)
     key_bits: int = 10
     # Pallas VMEM-window depth gather in the integrate chunk
-    # (ops/pallas_gather.py): beats XLA's HBM-latency gather when Mosaic
-    # lowers the window take_along_axis forms; off by default — the XLA
-    # path is the semantics reference (and integrates the rare
-    # near-range voxels whose footprint exceeds the window)
+    # (ops/pallas_gather.py).  KNOWN NOT TO LOWER on the current TPU
+    # Mosaic toolchain (internal compile errors; one attempt wedged the
+    # remote compile service ~25 min — BENCH_NOTES.md item 3): use only
+    # in interpret mode / on CPU.  Off by default — the XLA path is the
+    # semantics reference (and integrates the rare near-range voxels
+    # whose footprint exceeds the window)
     use_pallas_gather: bool = False
 
     @property

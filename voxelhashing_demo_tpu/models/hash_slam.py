@@ -189,11 +189,14 @@ def make_scan_step(config: PipelineConfig):
     """Jitted multi-frame step: ``lax.scan`` of ``step`` over a stacked
     (K, H, W) depth chunk, state donated.
 
-    One dispatch per K frames instead of per frame.  Per-call dispatch to
-    the device costs ~1.6 ms on a tunneled TPU (tools/profile_stages.py),
-    a measurable slice of a ~24 ms frame; scanning K frames amortizes it
-    K-fold with bit-identical per-frame results (tests/test_stream.py).
-    Returns (state, StepInfo stacked along axis 0).
+    One dispatch per K frames instead of per frame, with bit-identical
+    per-frame results (tests/test_stream.py).  NOTE: measured on the
+    tunneled chip this is SLOWER than back-to-back per-frame dispatches
+    (BENCH_NOTES.md item 5) — async per-frame dispatches already pipeline,
+    hiding the ~1.6 ms dispatch cost, and the scanned body runs slower per
+    frame.  Use it when dispatch cannot pipeline (synchronous hosts) or
+    for deterministic batch replay.  Returns (state, StepInfo stacked
+    along axis 0).
     """
 
     def chunk(state, depths):

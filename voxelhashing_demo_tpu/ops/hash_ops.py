@@ -421,7 +421,8 @@ def _integrate_rows(
         # VMEM-window gather (ops/pallas_gather.py): the image stays in
         # VMEM instead of paying HBM latency per voxel; voxels outside
         # their block's window (near-range only) come back uncovered and
-        # are skipped this frame
+        # are skipped while out of window — permanent integration holes
+        # if a block stays closer than ~0.4 m for the whole sequence
         from . import pallas_gather
 
         depth, covered = pallas_gather.gather_depth_window(
