@@ -100,10 +100,13 @@ def test_rebuild_improves_post_ba_tracking():
     """Drift step injected mid-sweep; loop closures + BA correct it.  With
     rebuild_map the map is reintegrated at corrected poses and subsequent
     frames benefit; without it they fight the stale model.  Measured at
-    this scale: with the r2 loop gates (angle + mutual consistency) the
-    backend is stable enough that both runs recover, but rebuild still
-    roughly halves the error (6.1 vs 11.0 mm post-BA ATE; pre-gates the
-    gap was 155 vs 778 mm)."""
+    this scale: with the r2 loop gates the gap was 6.1 vs 11.0 mm post-BA
+    ATE (pre-gates 155 vs 778 mm); with the r3 robust (Geman-McClure) BA
+    the stale-map run recovers its tail too, and rebuild's remaining
+    end-to-end value is the whole-trajectory ATE (6.1 vs 12.3 mm — the
+    retroactive correction quality), while the post-BA tail is a wash.
+    The mechanism-level necessity of rebuild is pinned separately by
+    test_rebuild_map_follows_correction."""
     n = 40
     depths, gt = synthetic.make_room_sweep(CAM, n, sweep_deg=140.0)
     D = jnp.asarray(se3.exp(jnp.asarray(
@@ -132,4 +135,6 @@ def test_rebuild_improves_post_ba_tracking():
     assert ate_r < 0.25, f"rebuild ATE {ate_r}"
     assert post_r < 0.25, f"rebuild post-BA ATE {post_r}"
     assert ate_r < 0.6 * ate_p, (ate_r, ate_p)
-    assert post_r < 0.75 * post_p, (post_r, post_p)
+    # post-BA tail: rebuild must not be worse than the stale-map run
+    # (since the r3 robust BA, both recover to the ~5 mm noise floor)
+    assert post_r < 1.3 * post_p + 0.002, (post_r, post_p)

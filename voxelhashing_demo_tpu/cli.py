@@ -29,15 +29,46 @@ import time
 import numpy as np
 
 
+# Standard TUM RGB-D camera calibrations (ROS defaults per sequence
+# family, vision.in.tum.de/data/datasets/rgbd-dataset/file_formats).
+# The reference hard-codes fr1 only (common.h:7-10).
+INTRINSIC_PRESETS = {
+    "fr1": (517.3, 516.5, 318.6, 255.3),
+    "fr2": (520.9, 521.0, 325.1, 249.7),
+    "fr3": (535.4, 539.2, 320.1, 247.6),
+}
+
+
 def _default_config(args) -> "PipelineConfig":
     from .config import (CameraConfig, GCConfig, HashConfig, ICPConfig,
-                         PipelineConfig, StreamConfig)
+                         KeyframeConfig, PipelineConfig, StreamConfig)
 
     cam = CameraConfig()
+    preset = getattr(args, "preset", "")
+    if preset:
+        fx, fy, cx, cy = INTRINSIC_PRESETS[preset]
+        cam = CameraConfig(fx=fx, fy=fy, cx=cx, cy=cy)
+    if getattr(args, "intrinsics", ""):
+        vals = [float(v) for v in args.intrinsics.split(",")]
+        if len(vals) != 4:
+            raise SystemExit("--intrinsics expects FX,FY,CX,CY")
+        import dataclasses as _dc
+
+        cam = _dc.replace(cam, fx=vals[0], fy=vals[1], cx=vals[2],
+                          cy=vals[3])
     if args.small:
         cam = CameraConfig(width=160, height=120, fx=129.3, fy=129.1,
                            cx=79.65, cy=59.8)
     stream = StreamConfig(enabled=bool(getattr(args, "stream", False)))
+    kf = KeyframeConfig()
+    if getattr(args, "kf_rotation", None) is not None:
+        import dataclasses as _dc
+
+        kf = _dc.replace(kf, min_rotation_deg=args.kf_rotation)
+    if getattr(args, "kf_translation", None) is not None:
+        import dataclasses as _dc
+
+        kf = _dc.replace(kf, min_translation=args.kf_translation)
     return PipelineConfig(
         camera=cam,
         icp=ICPConfig(pyramid=(4, 2, 1), pyramid_iters=(10, 5, 4)),
@@ -45,6 +76,7 @@ def _default_config(args) -> "PipelineConfig":
                         max_active=4096, max_new_per_frame=4096,
                         candidate_stride=2),
         gc=GCConfig(enabled=True, interval=8),
+        keyframes=kf,
         stream=stream,
     )
 
@@ -203,14 +235,16 @@ def cmd_run(args) -> None:
         # restart-from-checkpoint (failure recovery, SURVEY §5): the
         # remaining frames of the sequence continue the restored state
         if args.backend == "keyframe":
-            raise SystemExit("--resume supports the hash backend")
-        if mesh is not None:
+            slam = ck.load_keyframe_slam(args.resume, mesh)
+            resumed_frames = len(slam._frame_refs)
+        elif mesh is not None:
             slam = ck.load_sharded_slam(args.resume, mesh)
+            resumed_frames = len(slam.trajectory)
         else:
             slam, _ = ck.load_slam(args.resume)
+            resumed_frames = len(slam.trajectory)
         config = slam.config
         cam = config.camera
-        resumed_frames = len(slam.trajectory)
         # skip the already-processed prefix (gt stays full: final ATE
         # compares the whole trajectory, restored + new, against it)
         from .utils import stream as stream_mod
@@ -231,14 +265,17 @@ def cmd_run(args) -> None:
         slam = hash_slam.HashSLAM(config)
 
     def _save(name):
-        ck.save_slam(os.path.join(args.out, name), slam,
-                     graph=getattr(slam, "graph", None))
+        if args.backend == "keyframe":
+            ck.save_keyframe_slam(os.path.join(args.out, name), slam)
+        else:
+            ck.save_slam(os.path.join(args.out, name), slam,
+                         graph=getattr(slam, "graph", None))
 
     records = []
     t0 = time.perf_counter()
     for i, d in enumerate(depths):
         info = slam.process(jnp.asarray(np.asarray(d, dtype=np.uint16)))
-        records.append({
+        rec = {
             "frame": resumed_frames + i,
             "tracked": bool(info.tracked),
             "icp_error": float(info.icp_error),
@@ -246,11 +283,15 @@ def cmd_run(args) -> None:
             "blocks_allocated": int(info.blocks_allocated),
             "blocks_active": int(info.blocks_active),
             "blocks_freed": int(info.blocks_freed),
-        })
+        }
+        if getattr(slam, "saturated", False):
+            # keyframe backend at graph capacity with growth disabled:
+            # new keyframes/edges are being dropped (pure odometry)
+            rec["backend_saturated"] = True
+        records.append(rec)
         if (
             args.checkpoint_every
             and args.checkpoint
-            and args.backend != "keyframe"
             and (i + 1) % args.checkpoint_every == 0
         ):
             _save(args.checkpoint)
@@ -283,9 +324,19 @@ def cmd_run(args) -> None:
         "tracked_frames": sum(r["tracked"] for r in records),
     }
     if gt is not None and all(p is not None for p in gt):
+        gt_np = [np.asarray(p) for p in gt]
         result["ate_rmse_m"] = round(
-            metrics.ate_rmse(trajectory, [np.asarray(p) for p in gt]), 5
+            metrics.ate_rmse(trajectory, gt_np), 5
         )
+        # full evaluation in the run output (no separate `evaluate` step
+        # needed on real datasets): unaligned ATE + relative pose error
+        result["ate_rmse_unaligned_m"] = round(
+            metrics.ate_rmse(trajectory, gt_np, align=False), 5
+        )
+        if len(trajectory) > 1:
+            rpe_t, rpe_r = metrics.rpe(trajectory, gt_np, delta=1)
+            result["rpe_trans_rmse_m"] = round(float(rpe_t), 6)
+            result["rpe_rot_rmse_deg"] = round(float(rpe_r), 6)
     if getattr(slam, "store", None) is not None:
         result["stream"] = {
             "stored_blocks": len(slam.store),
@@ -296,16 +347,26 @@ def cmd_run(args) -> None:
         result["keyframes"] = len(slam.keyframes)
         result["graph_edges"] = int(slam.graph.num_edges)
         result["ba_runs"] = len(slam.ba_events)
+        result["graph_capacity"] = {
+            "keyframes": int(slam.graph.poses.shape[0]),
+            "edges": int(slam.graph.edges_ij.shape[0]),
+        }
+        result["backend_saturated"] = bool(slam.saturated)
+        if slam.capacity_events:
+            result["capacity_events"] = slam.capacity_events
+        if slam.relocalizations:
+            result["relocalizations"] = slam.relocalizations
         if mesh is None:
+            # render-only wrapper (the checkpoint goes through
+            # save_keyframe_slam below, which persists the full backend)
             hs = hash_slam.HashSLAM.__new__(hash_slam.HashSLAM)
             hs.config, hs.state, hs.trajectory, hs.infos = (
                 config, slam.state, list(trajectory), [])
             hs._step = hash_slam.make_step(config)
             inner = hs
-            saveable = hs
-    if args.checkpoint and saveable is not None:
-        ck.save_slam(os.path.join(args.out, args.checkpoint), saveable,
-                     graph=getattr(slam, "graph", None))
+    if args.checkpoint and (saveable is not None
+                            or args.backend == "keyframe"):
+        _save(args.checkpoint)
         result["checkpoint"] = args.checkpoint
     if args.render_last and inner is not None:
         out = inner.render()
@@ -440,6 +501,14 @@ def build_parser() -> argparse.ArgumentParser:
     d.set_defaults(fn=cmd_demo)
 
     r = sub.add_parser("run", help="full SLAM over a sequence")
+    r.add_argument("--preset", choices=sorted(INTRINSIC_PRESETS),
+                   default="",
+                   help="TUM camera calibration preset (freiburg1/2/3 "
+                        "sequence families)")
+    r.add_argument("--intrinsics", default="", metavar="FX,FY,CX,CY",
+                   help="override the camera intrinsics (applied after "
+                        "--preset; dataset-provided calibration, e.g. "
+                        "ScanNet's intrinsic/ file, still wins)")
     r.add_argument("--dataset",
                    help="sequence directory: TUM (depth.txt), native "
                         "ICL-NUIM (*.depth), or extracted ScanNet "
@@ -449,6 +518,12 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--max-frames", type=int, default=None)
     r.add_argument("--backend", choices=("hash", "keyframe"),
                    default="hash")
+    r.add_argument("--kf-rotation", type=float, default=None,
+                   metavar="DEG",
+                   help="keyframe insertion rotation threshold (degrees)")
+    r.add_argument("--kf-translation", type=float, default=None,
+                   metavar="M",
+                   help="keyframe insertion translation threshold (meters)")
     r.add_argument("--devices", type=int, default=1,
                    help="shard the map over this many devices (pjit mesh)")
     r.add_argument("--stream", action="store_true",

@@ -89,6 +89,15 @@ class ICPConfig:
     # constant-velocity motion prior, RACED against the identity start at
     # the coarsest level (ops/icp.icp_align_pyramid) so it can only help
     use_motion_prior: bool = True
+    # physically-plausible per-frame motion gate on the tracked result:
+    # projective ICP can lock into a wrong basin with thousands of
+    # sliding inliers (box-room geometry after a kidnap/occlusion), but
+    # a real sensor cannot teleport — results beyond these bounds are
+    # declared tracking failures (tracked=False) so recovery
+    # (relocalization) can engage.  At 30 Hz the defaults allow 9 m/s
+    # and 750 deg/s.  <= 0 disables the gate.
+    max_motion_trans: float = 0.30    # meters per frame
+    max_motion_rot_deg: float = 25.0  # degrees per frame
     pyramid: Tuple[int, ...] = (1,)  # downsample factors, coarse-to-fine
     pyramid_iters: Tuple[int, ...] = (20,)
     # extra per-level SOURCE-side pooling: level i associates
@@ -247,10 +256,25 @@ class KeyframeConfig:
 
     max_keyframes: int = 64
     max_edges: int = 256
+    # grow (double) the graph capacity on demand instead of silently
+    # no-opping at max_keyframes/max_edges; the grown shapes recompile the
+    # BA jit O(log K) times over a run (ops/pose_graph.grow).  When off,
+    # hitting capacity degrades the backend to pure odometry — surfaced
+    # as a ``capacity_events`` entry and the ``saturated`` flag on
+    # KeyframeSLAM, never silent.
+    grow_on_capacity: bool = True
     min_rotation_deg: float = 10.0   # new keyframe if rotation exceeds this
     min_translation: float = 0.15    # ... or translation (meters) this
     ba_iters: int = 5
     ba_damping: float = 1e-4
+    # IRLS robust kernel on the per-edge se(3) residual norm (meters +
+    # radians mixed); delta 0 = off.  Bounds (kernel "huber") or
+    # essentially eliminates (kernel "gm", Geman-McClure, default) the
+    # damage of a false loop closure that slips past the acceptance
+    # gates (ops/pose_graph.robust_edge_weights).  Honest corrections
+    # are mm-cm scale; false closures are decimeter-plus.
+    ba_robust_delta: float = 0.1
+    ba_robust_kernel: str = "gm"
     icp_downsample: int = 2          # keyframe-pair ICP runs at this factor
     loop_radius: float = 0.8         # meters: candidate loop-closure search
     min_loop_separation: int = 3     # keyframes between loop-closure pairs
@@ -277,6 +301,25 @@ class KeyframeConfig:
     rebuild_map: bool = True
     rebuild_min_trans: float = 0.02   # meters
     rebuild_min_rot_deg: float = 1.0
+    # incremental reintegration: once the map is keyframe-only (after the
+    # first full rebuild), later BA corrections de-integrate + re-integrate
+    # ONLY the keyframes whose pose moved (the Curless-Levoy average is
+    # exactly invertible below the weight cap, ops/hash_ops.defuse_frame)
+    # instead of replaying all K keyframes — the full-stop rebuild hitch
+    # shrinks by the unmoved fraction.  Single-chip, non-streaming runs
+    # only; others keep the full rebuild.
+    rebuild_incremental: bool = True
+    rebuild_move_min_trans: float = 0.005   # keyframe "moved" thresholds
+    rebuild_move_min_rot_deg: float = 0.25
+    # tracking-lost recovery: after ``reloc_after`` consecutive untracked
+    # frames, re-register the live frame against stored keyframes (ICP
+    # from identity + the loop acceptance gates) and reset the live pose
+    # to the best passing match.  The capability the reference's legacy
+    # rigidAlignment fallback (CameraTracking.cpp:92-115) was for.
+    relocalize: bool = True
+    reloc_after: int = 3          # consecutive lost frames before trying
+    reloc_interval: int = 2       # retry cadence while still lost
+    reloc_max_candidates: int = 16  # most recent keyframes searched
 
 
 @dataclasses.dataclass(frozen=True)

@@ -78,8 +78,11 @@ def step(
     # ICP maps new-frame camera coords into last-frame camera coords, so
     # pose_new = pose_prev @ T_icp.  Fall back to constant-position when the
     # model is empty (first frame) or tracking failed.
-    ok = model_valid & (result.count > 100) & jnp.all(
-        jnp.isfinite(result.transform)
+    ok = (
+        model_valid
+        & (result.count > 100)
+        & jnp.all(jnp.isfinite(result.transform))
+        & icp_ops.motion_plausible(result.transform, config.icp)
     )
     T_rel = jnp.where(ok, result.transform, se3.identity())
     pose_new = state.pose @ T_rel

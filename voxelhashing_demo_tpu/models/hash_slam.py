@@ -105,8 +105,11 @@ def step(
                 raced, result,
                 sn / jnp.maximum(sd, 1.0), bn / jnp.maximum(bd, 1.0),
             )
-    ok = model_valid & (result.count > 100) & jnp.all(
-        jnp.isfinite(result.transform)
+    ok = (
+        model_valid
+        & (result.count > 100)
+        & jnp.all(jnp.isfinite(result.transform))
+        & icp_ops.motion_plausible(result.transform, config.icp)
     )
     T_rel = jnp.where(ok, result.transform, se3.identity())
     pose_new = state.pose @ T_rel

@@ -70,6 +70,12 @@ class HashMap(NamedTuple):
     # with no surface-band voxel without re-reading their rows — those
     # blocks contribute zero scatter updates, so the filter is bit-exact
     band_min: jnp.ndarray     # [num_blocks] float32
+    # frame idx when the row was (re)allocated: the de-integration gate.
+    # A frame integrated at time t touched exactly the rows with
+    # born <= t, so de-integrating it later (BundleFusion-style
+    # reintegration after a BA correction) must skip younger rows —
+    # they never received its samples (models/keyframe_slam).
+    born: jnp.ndarray         # [num_blocks] int32
 
 
 class ActiveSet(NamedTuple):
@@ -95,6 +101,7 @@ def create(cfg: HashConfig) -> HashMap:
         weight=jnp.zeros((cfg.num_blocks, V), dtype=jnp.float32),
         last_seen=jnp.zeros((cfg.num_blocks,), dtype=jnp.int32),
         band_min=jnp.full((cfg.num_blocks,), jnp.inf, dtype=jnp.float32),
+        born=jnp.zeros((cfg.num_blocks,), dtype=jnp.int32),
     )
 
 
@@ -287,6 +294,7 @@ def insert_blocks(
         jnp.int32(frame_idx), mode="drop"
     )
     band_min = hmap.band_min.at[row_idx].set(jnp.inf, mode="drop")
+    born = hmap.born.at[row_idx].set(jnp.int32(frame_idx), mode="drop")
 
     return (
         hmap._replace(
@@ -298,6 +306,7 @@ def insert_blocks(
             weight=weight,
             last_seen=last_seen,
             band_min=band_min,
+            born=born,
         ),
         n_alloc,
     )
@@ -402,9 +411,17 @@ def _integrate_rows(
     T_cw: jnp.ndarray,
     cam: CameraConfig,
     fusion: FusionConfig,
+    sign: int = 1,
+    max_born: jnp.ndarray | None = None,
 ) -> HashMap:
     """Fuse one chunk of block rows (the reference's
-    integrateDepthMapKernel math, VoxelUtils.cu:789-852)."""
+    integrateDepthMapKernel math, VoxelUtils.cu:789-852).
+
+    ``sign=-1`` DE-integrates: the Curless-Levoy running average is
+    exactly invertible below the weight cap, so re-generating the same
+    samples (same depth frame, same pose) and subtracting removes this
+    frame's contribution bit-for-bit.  ``max_born`` gates updates to rows
+    allocated at or before that frame index (see HashMap.born)."""
     C = ptrs.shape[0]
     V = cfg.voxels_per_block
     local = _local_offsets(cfg.block_size)                 # (V, 3)
@@ -436,6 +453,7 @@ def _integrate_rows(
     z = pc[..., 2]
     sdf = depth - z
     trunc = fusion.truncation + fusion.trunc_scale * depth
+    safe_ptr = jnp.clip(ptrs, 0, hmap.tsdf.shape[0] - 1)
     valid = (
         row_valid[:, None]
         & in_img
@@ -443,20 +461,42 @@ def _integrate_rows(
         & (z > 0)
         & (sdf > -trunc)
     )
+    if max_born is not None:
+        valid = valid & (hmap.born[safe_ptr] <= max_born)[:, None]
     sdf = jnp.clip(sdf, -trunc, trunc)
 
     w_new = jnp.where(valid, sample_weight(depth, cam, fusion), 0.0)
 
-    safe_ptr = jnp.clip(ptrs, 0, hmap.tsdf.shape[0] - 1)
     old_sdf = hmap.tsdf[safe_ptr]                          # (C, V) row gather
     old_w = hmap.weight[safe_ptr]
-    w_sum = old_w + w_new
-    fused = jnp.where(
-        w_new > 0,
-        (old_sdf * old_w + sdf * w_new) / jnp.maximum(w_sum, 1e-12),
-        old_sdf,
-    )
-    new_w = jnp.where(w_new > 0, jnp.minimum(w_sum, fusion.max_weight), old_w)
+    if sign > 0:
+        w_sum = old_w + w_new
+        fused = jnp.where(
+            w_new > 0,
+            (old_sdf * old_w + sdf * w_new) / jnp.maximum(w_sum, 1e-12),
+            old_sdf,
+        )
+        new_w = jnp.where(
+            w_new > 0, jnp.minimum(w_sum, fusion.max_weight), old_w
+        )
+    else:
+        # inverse update: voxels whose weight falls to ~0 return to the
+        # unobserved state (sdf 0, weight 0)
+        w_rem = jnp.maximum(old_w - w_new, 0.0)
+        fused = jnp.where(
+            w_new > 0,
+            jnp.where(
+                w_rem > 1e-6,
+                (old_sdf * old_w - sdf * w_new) / jnp.maximum(w_rem, 1e-12),
+                0.0,
+            ),
+            old_sdf,
+        )
+        new_w = jnp.where(w_new > 0, w_rem, old_w)
+        # float error at tiny w_rem can push the recovered value outside
+        # the representable band; clamp to the global truncation bound
+        tmax = fusion.truncation + fusion.trunc_scale * cam.depth_max
+        fused = jnp.clip(fused, -tmax, tmax)
 
     row_idx = jnp.where(row_valid, ptrs, hmap.tsdf.shape[0])
     tsdf = hmap.tsdf.at[row_idx].set(fused, mode="drop")
@@ -476,6 +516,8 @@ def integrate(
     T_wc: jnp.ndarray,
     cam: CameraConfig,
     fusion: FusionConfig,
+    sign: int = 1,
+    max_born: jnp.ndarray | None = None,
 ) -> HashMap:
     """Curless-Levoy fusion over the padded active set.
 
@@ -495,7 +537,7 @@ def integrate(
     if C == A:
         return _integrate_rows(
             hmap, active.blocks, active.ptrs, cfg, depth_m, T_cw, cam,
-            fusion,
+            fusion, sign, max_born,
         )
 
     def cond(carry):
@@ -507,7 +549,7 @@ def integrate(
         blocks = jax.lax.dynamic_slice(active.blocks, (i * C, 0), (C, 3))
         ptrs = jax.lax.dynamic_slice(active.ptrs, (i * C,), (C,))
         m = _integrate_rows(m, blocks, ptrs, cfg, depth_m, T_cw, cam,
-                            fusion)
+                            fusion, sign, max_born)
         return (i + 1, m)
 
     # i0 derives from count so its device-varying type matches the loop
@@ -764,6 +806,10 @@ def restore_blocks(
         jnp.where(w_sorted > 0, jnp.abs(t_sorted), jnp.inf), axis=1
     )
     band_min = hmap.band_min.at[row_idx].set(ins_min, mode="drop")
+    # restored rows carry payload fused long before this restore; born is
+    # conservatively stamped "now" (streaming maps use full rebuilds, not
+    # born-gated incremental reintegration — models/keyframe_slam)
+    born = hmap.born.at[row_idx].set(jnp.int32(frame_idx), mode="drop")
 
     # accepted mask back in input order: inserted-now OR merged-into-existing
     ok_in = jnp.zeros((R,), dtype=bool).at[order].set(ok)
@@ -778,6 +824,7 @@ def restore_blocks(
             weight=weight,
             last_seen=last_seen,
             band_min=band_min,
+            born=born,
         ),
         accepted,
     )
@@ -822,3 +869,26 @@ def fuse_frame(
     hmap = touch_active(hmap, active, frame_idx)
     hmap = integrate(hmap, active, cfg, frame.depth, T_wc, cam, fusion)
     return hmap, active, n_alloc
+
+
+def defuse_frame(
+    hmap: HashMap,
+    frame: Frame,
+    T_wc: jnp.ndarray,
+    cam: CameraConfig,
+    cfg: HashConfig,
+    fusion: FusionConfig,
+    frame_born: jnp.ndarray | int,
+) -> HashMap:
+    """Remove a previously fused frame's contribution: regenerate its
+    samples at the SAME pose/depth and apply the inverse Curless-Levoy
+    update to the rows that existed when it was fused (born <=
+    ``frame_born``).  Exact below the weight cap — the enabling primitive
+    of BundleFusion-style incremental reintegration after BA corrections
+    (models/keyframe_slam._incremental_reintegrate).  No allocation, no
+    visibility stamping: this is pure subtraction."""
+    active = compact_visible(hmap, cfg, T_wc, cam, fusion)
+    return integrate(
+        hmap, active, cfg, frame.depth, T_wc, cam, fusion,
+        sign=-1, max_born=jnp.int32(frame_born),
+    )

@@ -348,6 +348,23 @@ def pick_by_score(
     )
 
 
+def motion_plausible(T: jnp.ndarray, cfg: ICPConfig) -> jnp.ndarray:
+    """Gate a tracked per-frame transform against the physically
+    plausible motion envelope (ICPConfig.max_motion_trans/rot).
+
+    Projective ICP in box-room geometry can converge to a wrong basin
+    with thousands of sliding point-to-plane inliers (measured: a 1.4 m
+    teleport "tracked" with 9k inliers, tests/test_backend_robustness).
+    A real sensor cannot teleport between frames, so a result beyond the
+    envelope is a tracking failure by definition — the signal the
+    relocalizer (models/keyframe_slam) engages on."""
+    if cfg.max_motion_trans <= 0:
+        return jnp.bool_(True)
+    t_ok = jnp.linalg.norm(T[:3, 3]) <= cfg.max_motion_trans
+    r_ok = se3.rotation_angle(T) <= jnp.deg2rad(cfg.max_motion_rot_deg)
+    return t_ok & r_ok
+
+
 def icp_align_pyramid(
     depth_src_m: jnp.ndarray,
     depth_tgt_m: jnp.ndarray,

@@ -63,6 +63,40 @@ def create(max_keyframes: int, max_edges: int) -> PoseGraph:
     )
 
 
+def grow(
+    graph: PoseGraph, max_keyframes: int, max_edges: int
+) -> PoseGraph:
+    """Host-side capacity growth: re-pad the arrays to larger capacities.
+
+    The contents (poses, edges, counts) are preserved bit-exactly; the new
+    rows are the same identity/zero padding ``create`` emits.  Jitted
+    consumers (``optimize``) recompile once per new shape — growth doubles,
+    so that happens O(log K) times over a run.  This is what keeps a long
+    multi-room run from silently degrading to pure odometry when the
+    initial capacity fills (models/keyframe_slam.py grows on demand).
+    """
+    K, E = graph.poses.shape[0], graph.edges_ij.shape[0]
+    if max_keyframes < K or max_edges < E:
+        raise ValueError(f"grow must not shrink: {(K, E)} -> "
+                         f"{(max_keyframes, max_edges)}")
+    I = jnp.eye(4, dtype=jnp.float32)
+    return graph._replace(
+        poses=jnp.concatenate(
+            [graph.poses,
+             jnp.broadcast_to(I, (max_keyframes - K, 4, 4))]
+        ),
+        edges_ij=jnp.concatenate(
+            [graph.edges_ij, jnp.zeros((max_edges - E, 2), jnp.int32)]
+        ),
+        edges_T=jnp.concatenate(
+            [graph.edges_T, jnp.broadcast_to(I, (max_edges - E, 4, 4))]
+        ),
+        edges_w=jnp.concatenate(
+            [graph.edges_w, jnp.zeros((max_edges - E,), jnp.float32)]
+        ),
+    )
+
+
 def add_pose(graph: PoseGraph, T: jnp.ndarray) -> PoseGraph:
     """Append a keyframe pose (no-op if at capacity)."""
     k = graph.num_poses
@@ -107,6 +141,43 @@ def edge_residuals(
     return se3.log(se3.inverse(edges_T) @ pred)
 
 
+def robust_edge_weights(
+    graph: PoseGraph, delta: float, kernel: str = "gm"
+) -> jnp.ndarray:
+    """IRLS robust-kernel edge weights  ->  (E,).
+
+    One false loop closure that slips past the acceptance gates would
+    otherwise corrupt the whole graph (every pose bends toward the bogus
+    constraint, and the map rebuild then bakes the corruption into the
+    TSDF).  ``delta`` is in the mixed se(3) residual norm (meters +
+    radians); honest drift corrections are mm-to-cm scale, false closures
+    decimeter-plus.  Weights are re-evaluated every GN iteration as the
+    poses move (IRLS).  Kernels:
+
+    - ``"gm"`` (default): Geman-McClure ``delta^2 / (delta^2 + ||r||^2)``
+      — redescending: a wrong-by-0.5 m edge keeps ~4 % weight and the
+      graph essentially sheds it (measured 1.3 mm residual ATE vs 36 mm
+      for Huber on the false-edge ring benchmark,
+      tests/test_backend_robustness.py).  Nonconvex, but the odometry
+      chain always provides a good linearization point, and measured
+      honest-drift convergence is identical to Huber up to 0.38 residual.
+    - ``"huber"``: ``min(1, delta / ||r||)`` — convex, influence bounded
+      by delta but never zero.
+
+    No reference counterpart (the reference has no backend, SURVEY.md §5).
+    """
+    r = edge_residuals(graph.poses, graph.edges_ij, graph.edges_T)
+    if kernel == "gm":
+        rn2 = jnp.sum(r * r, axis=-1)
+        h = delta * delta / (delta * delta + rn2)
+    elif kernel == "huber":
+        rn = jnp.linalg.norm(r, axis=-1)
+        h = jnp.minimum(1.0, delta / jnp.maximum(rn, 1e-12))
+    else:
+        raise ValueError(f"unknown robust kernel {kernel!r}")
+    return graph.edges_w * h
+
+
 def _chi2(graph: PoseGraph) -> jnp.ndarray:
     r = edge_residuals(graph.poses, graph.edges_ij, graph.edges_T)
     return jnp.sum(graph.edges_w * jnp.sum(r * r, axis=-1))
@@ -114,14 +185,22 @@ def _chi2(graph: PoseGraph) -> jnp.ndarray:
 
 def build_normal_equations(
     graph: PoseGraph,
+    robust_delta: float = 0.0,
+    robust_kernel: str = "gm",
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """(H, b, chi2) of the weighted GN system about the current poses.
 
     H is (6K, 6K), b is (6K,).  Exposed separately so the sharded path can
     build partial systems per device and ``psum`` them (the distributed-BA
-    reduction of SURVEY.md §2b's last row).
+    reduction of SURVEY.md §2b's last row; the robust weight depends only
+    on an edge's own residual, so per-shard weights compose exactly).
+
+    ``robust_delta`` > 0 applies the IRLS robust reweighting
+    (``robust_edge_weights``) about the current linearization point.
     """
     K = graph.poses.shape[0]
+    ew = (robust_edge_weights(graph, robust_delta, robust_kernel)
+          if robust_delta > 0 else graph.edges_w)
 
     def residual_of_twists(xis):
         P = jax.vmap(lambda T, xi: T @ se3.exp(xi))(graph.poses, xis)
@@ -132,7 +211,7 @@ def build_normal_equations(
     J = jax.jacfwd(residual_of_twists)(zeros)            # (E, 6, K, 6)
     E = r.shape[0]
     Jf = J.reshape(E * 6, K * 6)
-    w = jnp.repeat(graph.edges_w, 6)
+    w = jnp.repeat(ew, 6)
     Hn = (Jf * w[:, None]).T @ Jf                         # (6K, 6K) on MXU
     bn = (Jf * w[:, None]).T @ r.reshape(-1)
     chi2 = jnp.sum(w * r.reshape(-1) ** 2)
@@ -164,7 +243,9 @@ def optimize(graph: PoseGraph, cfg: KeyframeConfig):
     chi2_0 = _chi2(graph)
 
     def body(_, g):
-        H, b, _ = build_normal_equations(g)
+        H, b, _ = build_normal_equations(
+            g, cfg.ba_robust_delta, cfg.ba_robust_kernel
+        )
         return apply_update(g, H, b, cfg)
 
     graph = jax.lax.fori_loop(0, cfg.ba_iters, body, graph)

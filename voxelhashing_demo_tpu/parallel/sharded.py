@@ -88,6 +88,7 @@ def _map_spec() -> HashMap:
         weight=P(AXIS),
         last_seen=P(AXIS),
         band_min=P(AXIS),
+        born=P(AXIS),
     )
 
 
@@ -377,8 +378,11 @@ def make_sharded_step(config: PipelineConfig, mesh: Mesh):
             frame, state.model, cam, config.icp, n,
             prior_T=state.vel if config.icp.use_motion_prior else None,
         )
-        ok = model_valid & (result.count > 100) & jnp.all(
-            jnp.isfinite(result.transform)
+        ok = (
+            model_valid
+            & (result.count > 100)
+            & jnp.all(jnp.isfinite(result.transform))
+            & icp_ops.motion_plausible(result.transform, config.icp)
         )
         T_rel = jnp.where(ok, result.transform, se3.identity())
         pose_new = state.pose @ T_rel
@@ -621,7 +625,9 @@ def optimize_graph_sharded(graph, kcfg, mesh):
         chi2_0 = chi2(poses)
 
         def body(_, p):
-            H, b, _ = pose_graph.build_normal_equations(make(p))
+            H, b, _ = pose_graph.build_normal_equations(
+                make(p), kcfg.ba_robust_delta, kcfg.ba_robust_kernel
+            )
             H = jax.lax.psum(H, AXIS)
             b = jax.lax.psum(b, AXIS)
             return pose_graph.apply_update(make(p), H, b, kcfg).poses

@@ -97,9 +97,16 @@ def _py_decode(data: bytes) -> np.ndarray:
         elif ctype == b"IEND":
             break
         pos += 12 + length
-    raw = zlib.decompress(idat)
+    if width is None:
+        raise ValueError("truncated PNG: missing IHDR")
+    try:
+        raw = zlib.decompress(idat)
+    except zlib.error as e:
+        raise ValueError(f"corrupt PNG data: {e}") from e
     bpp = bit_depth // 8
     stride = width * bpp
+    if len(raw) < height * (stride + 1):
+        raise ValueError("truncated PNG: incomplete image data")
     out = np.zeros((height, stride), dtype=np.uint8)
     prior = np.zeros(stride, dtype=np.uint8)
     for y in range(height):

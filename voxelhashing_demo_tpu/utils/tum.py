@@ -19,7 +19,11 @@ from . import io as depth_io
 
 
 def _parse_list(path: str) -> List[Tuple[float, List[str]]]:
-    """Parse a TUM-format list file: ``timestamp data...`` per line."""
+    """Parse a TUM-format list file: ``timestamp data...`` per line.
+
+    Returned sorted by timestamp — real-world list files are not always
+    ordered, and both the greedy ``associate`` walk and sequential SLAM
+    ingestion assume monotone time."""
     out = []
     with open(path) as f:
         for line in f:
@@ -28,6 +32,7 @@ def _parse_list(path: str) -> List[Tuple[float, List[str]]]:
                 continue
             parts = line.split()
             out.append((float(parts[0]), parts[1:]))
+    out.sort(key=lambda e: e[0])
     return out
 
 
