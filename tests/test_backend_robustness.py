@@ -146,20 +146,19 @@ def test_grow_preserves_graph_and_optimization():
 
 def _kf_cfg(**kf_overrides) -> PipelineConfig:
     base = tiny_config()
+    kw = dict(
+        min_rotation_deg=2.0,
+        min_translation=0.03,
+        icp_downsample=2,
+        min_loop_inliers=150,
+        max_loop_error=5e-4,
+        loop_radius=1.0,
+        min_loop_separation=2,
+        ba_iters=5,
+    )
+    kw.update(kf_overrides)
     return dataclasses.replace(
-        base,
-        keyframes=dataclasses.replace(
-            base.keyframes,
-            min_rotation_deg=2.0,
-            min_translation=0.03,
-            icp_downsample=2,
-            min_loop_inliers=150,
-            max_loop_error=5e-4,
-            loop_radius=1.0,
-            min_loop_separation=2,
-            ba_iters=5,
-            **kf_overrides,
-        ),
+        base, keyframes=dataclasses.replace(base.keyframes, **kw)
     )
 
 
@@ -282,3 +281,57 @@ def test_relocalization_recovers_kidnapped_camera():
         for i in range(len(seq) - 3, len(seq))
     ]
     assert max(err) < 0.10, err
+
+
+def test_sync_every_batching_equivalence():
+    """kcfg.sync_every batches the host-side bookkeeping (pose fetches)
+    without changing the backend's decisions: with BA out of the picture
+    the keyframe set, graph, and trajectory match sync_every=1 exactly;
+    with in-batch BA the only drift is corrections landing <=B-1 frames
+    late (sub-mm on this scenario)."""
+    from voxelhashing_demo_tpu.models import keyframe_slam
+
+    def run(b, with_ba):
+        config = _kf_cfg(
+            sync_every=b,
+            **({} if with_ba else {"loop_radius": 0.0}),  # no closures
+        )
+        depths, gt = synthetic.make_sequence(
+            config.camera, 10, trans_amp=0.10, rot_amp_deg=5.0
+        )
+        slam = keyframe_slam.KeyframeSLAM(config)
+        for d in depths:
+            slam.process(d)
+        traj = slam.trajectory()   # flushes pending bookkeeping
+        return (
+            len(slam.keyframes),
+            [r.frame_index for r in slam.keyframes],
+            slam._n_edges,
+            len(slam.ba_events),
+            traj,
+            metrics.ate_rmse(traj, gt),
+        )
+
+    # BA-free: bit-equivalent decisions and trajectory
+    k1, f1, e1, _, t1, a1 = run(1, with_ba=False)
+    k4, f4, e4, _, t4, a4 = run(4, with_ba=False)
+    assert (k1, f1, e1) == (k4, f4, e4)
+    assert len(t1) == len(t4) == 10
+    err = max(
+        float(np.linalg.norm(np.asarray(a)[:3, 3] - np.asarray(b_)[:3, 3]))
+        for a, b_ in zip(t1, t4)
+    )
+    assert err < 1e-5, err
+
+    # with BA: same keyframes/edges; corrections land <=B-1 frames late,
+    # bending the trajectory sub-mm at this scale
+    k1, f1, e1, ba1, t1, a1 = run(1, with_ba=True)
+    k4, f4, e4, ba4, t4, a4 = run(4, with_ba=True)
+    assert (k1, f1) == (k4, f4)
+    assert ba1 > 0 and ba4 > 0
+    err = max(
+        float(np.linalg.norm(np.asarray(a)[:3, 3] - np.asarray(b_)[:3, 3]))
+        for a, b_ in zip(t1, t4)
+    )
+    assert err < 2e-3, err
+    assert abs(a1 - a4) < 1e-3

@@ -271,10 +271,31 @@ def cmd_run(args) -> None:
             ck.save_slam(os.path.join(args.out, name), slam,
                          graph=getattr(slam, "graph", None))
 
-    records = []
+    infos = []
+    sat_frames = set()
     t0 = time.perf_counter()
     for i, d in enumerate(depths):
         info = slam.process(jnp.asarray(np.asarray(d, dtype=np.uint16)))
+        infos.append(info)
+        if getattr(slam, "saturated", False):
+            sat_frames.add(i)
+        if (
+            args.checkpoint_every
+            and args.checkpoint
+            and (i + 1) % args.checkpoint_every == 0
+        ):
+            _save(args.checkpoint)
+    if hasattr(slam, "flush"):
+        slam.flush()
+    jax.block_until_ready(
+        slam.state.pose if hasattr(slam, "state") else None
+    )
+    dt = time.perf_counter() - t0
+    # per-frame records are materialized AFTER the clock stops: every
+    # float()/bool() is a device fetch, and a fetch inside the loop
+    # blocks dispatch pipelining (a full tunnel RTT per frame on TPU)
+    records = []
+    for i, info in enumerate(infos):
         rec = {
             "frame": resumed_frames + i,
             "tracked": bool(info.tracked),
@@ -284,21 +305,11 @@ def cmd_run(args) -> None:
             "blocks_active": int(info.blocks_active),
             "blocks_freed": int(info.blocks_freed),
         }
-        if getattr(slam, "saturated", False):
+        if i in sat_frames:
             # keyframe backend at graph capacity with growth disabled:
             # new keyframes/edges are being dropped (pure odometry)
             rec["backend_saturated"] = True
         records.append(rec)
-        if (
-            args.checkpoint_every
-            and args.checkpoint
-            and (i + 1) % args.checkpoint_every == 0
-        ):
-            _save(args.checkpoint)
-    jax.block_until_ready(
-        slam.state.pose if hasattr(slam, "state") else None
-    )
-    dt = time.perf_counter() - t0
 
     trajectory = (slam.trajectory() if callable(getattr(slam, "trajectory"))
                   else slam.trajectory)

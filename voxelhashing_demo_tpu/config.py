@@ -284,10 +284,21 @@ class KeyframeConfig:
     # opposite-facing keyframes share no surface and projective ICP on
     # them can only converge to wrong-basin solutions
     loop_max_angle_deg: float = 75.0
-    # mutual-consistency gate: register both directions and require the
-    # composition to be near identity; rejects sliding/wrong-basin
-    # registrations that pass the residual gate on degenerate geometry
-    loop_mutual_check: bool = True
+    # observability gate: min normalized smallest eigenvalue of the
+    # forward solve's normal matrix (ops/icp.observability).  Sliding
+    # registrations on degenerate geometry (flat walls) have a near-null
+    # JTJ direction (~0); structured scenes measure >= ~1e-2.  This is
+    # the direct test for what the mutual check approximated — and
+    # unlike the mutual check it does not reject a well-constrained
+    # forward closure because the REVERSE overlap happens to be
+    # degenerate (measured failure mode at flagship scale: reverse ICP
+    # slid 0.13-0.57 m with 0 deg rotation, BENCH_NOTES r3).
+    min_loop_obs: float = 1e-3
+    # optional legacy mutual-consistency gate: register both directions
+    # and require the composition near identity.  Conservative (kills
+    # true closures whose reverse overlap is degenerate); off by default
+    # since the observability gate.
+    loop_mutual_check: bool = False
     loop_mutual_max_trans: float = 0.03   # meters
     loop_mutual_max_rot_deg: float = 2.0
     loop_weight: float = 1.0
@@ -320,6 +331,19 @@ class KeyframeConfig:
     reloc_after: int = 3          # consecutive lost frames before trying
     reloc_interval: int = 2       # retry cadence while still lost
     reloc_max_candidates: int = 16  # most recent keyframes searched
+    # host<->device sync cadence of the keyframe layer: per-frame
+    # decisions (keyframe insertion, lost-streak, frame refs) need the
+    # tracked pose on the host, and one tunnel fetch costs a full RTT
+    # (~30 ms on a remote TPU) that blocks dispatch pipelining.  With
+    # sync_every=B the layer fetches B frames' poses in ONE transfer and
+    # applies the decisions retrospectively (keyframe poses stay exact;
+    # BA corrections/relocalizations land up to B-1 frames late).
+    # 1 = legacy per-frame behavior (tests); flagship/bench use 8.
+    sync_every: int = 1
+    # candidate batch width for loop-closure / odometry pair ICP: all
+    # candidates run in ONE vmapped dispatch + ONE fetch instead of a
+    # dispatch+fetch round per candidate
+    loop_max_batch: int = 8
 
 
 @dataclasses.dataclass(frozen=True)

@@ -107,6 +107,12 @@ def make_render_model(config: PipelineConfig):
     return jax.jit(render)
 
 
+def _rot_deg_np(T: np.ndarray) -> float:
+    """Rotation angle of a 4x4 (or 3x3) transform, degrees, pure numpy."""
+    c = (float(np.trace(np.asarray(T)[:3, :3])) - 1.0) / 2.0
+    return float(np.degrees(np.arccos(np.clip(c, -1.0, 1.0))))
+
+
 @dataclass
 class _KeyframeRecord:
     index: int                 # keyframe id == pose index in the graph
@@ -161,6 +167,19 @@ class KeyframeSLAM:
         # True once a full rebuild made the map keyframe-only — the
         # precondition for exact incremental reintegration
         self._map_keyframe_only = False
+        # pipelining state (kcfg.sync_every): frames whose host-side
+        # bookkeeping hasn't run yet, and host mirrors of the device
+        # graph so per-frame decisions never block on a tunnel fetch
+        self._pending: List[tuple] = []
+        self._poses_np = np.broadcast_to(
+            np.eye(4, dtype=np.float32),
+            (self.kcfg.max_keyframes, 4, 4),
+        ).copy()
+        self._n_poses = 0
+        self._n_edges = 0
+        self._batch_fwd = None      # vmapped candidate-ICP jits (lazy)
+        self._batch_rev = None
+        self._zero_small = None
 
     # -- backend dispatch (single-chip vs sharded) ----------------------------
 
@@ -214,9 +233,10 @@ class KeyframeSLAM:
             })
 
     def _ensure_pose_capacity(self) -> bool:
-        """True if a pose slot is available (growing the graph if allowed)."""
+        """True if a pose slot is available (growing the graph if allowed).
+        Counts come from host mirrors — no device fetch."""
         K = self.graph.poses.shape[0]
-        if int(self.graph.num_poses) < K:
+        if self._n_poses < K:
             return True
         if not self.kcfg.grow_on_capacity:
             self._mark_saturated("keyframes")
@@ -224,6 +244,10 @@ class KeyframeSLAM:
         self.graph = pose_graph.grow(
             self.graph, K * 2, self.graph.edges_ij.shape[0]
         )
+        self._poses_np = np.concatenate([
+            self._poses_np,
+            np.broadcast_to(np.eye(4, dtype=np.float32), (K, 4, 4)),
+        ])
         self.capacity_events.append({
             "frame": self._frame_idx, "kind": "grow_keyframes",
             "capacity": K * 2,
@@ -232,7 +256,7 @@ class KeyframeSLAM:
 
     def _ensure_edge_capacity(self) -> bool:
         E = self.graph.edges_ij.shape[0]
-        if int(self.graph.num_edges) < E:
+        if self._n_edges < E:
             return True
         if not self.kcfg.grow_on_capacity:
             self._mark_saturated("edges")
@@ -246,6 +270,20 @@ class KeyframeSLAM:
         })
         return True
 
+    def _add_pose(self, T_np: np.ndarray) -> None:
+        self.graph = pose_graph.add_pose(
+            self.graph, jnp.asarray(T_np, dtype=jnp.float32)
+        )
+        self._poses_np[self._n_poses] = T_np
+        self._n_poses += 1
+
+    def _add_edge(self, i: int, j: int, T_np, weight: float) -> None:
+        self.graph = pose_graph.add_edge(
+            self.graph, i, j, jnp.asarray(T_np, dtype=jnp.float32),
+            weight=weight,
+        )
+        self._n_edges += 1
+
     # -- keyframe helpers ---------------------------------------------------
 
     def _downsample(self, frame: pre_ops.Frame) -> pre_ops.Frame:
@@ -255,9 +293,6 @@ class KeyframeSLAM:
         d = pre_ops.downsample_depth(frame.depth, f)
         return pre_ops.preprocess_metric(d, self._lcam)
 
-    def _kf_pose(self, k: int) -> jnp.ndarray:
-        return self.graph.poses[k]
-
     def _pair_icp(self, src: pre_ops.Frame, tgt: pre_ops.Frame, init_T):
         """ICP between two stored keyframe frames: returns T mapping src
         camera coords to tgt camera coords (= T_tgt^-1 @ T_src)."""
@@ -265,25 +300,95 @@ class KeyframeSLAM:
             src, tgt, self._lcam, self.config.icp, init_T=init_T
         )
 
-    def _should_insert(self, pose) -> bool:
+    def _should_insert(self, pose_np: np.ndarray) -> bool:
         if not self.keyframes:
             return True
-        last = self._kf_pose(self.keyframes[-1].index)
-        rel = se3.inverse(last) @ pose
-        rot = float(np.degrees(float(se3.rotation_angle(rel))))
-        trans = float(jnp.linalg.norm(rel[:3, 3]))
+        last = self._poses_np[self.keyframes[-1].index]
+        rel = np.linalg.inv(last) @ pose_np
         return (
-            rot > self.kcfg.min_rotation_deg
-            or trans > self.kcfg.min_translation
+            _rot_deg_np(rel) > self.kcfg.min_rotation_deg
+            or float(np.linalg.norm(rel[:3, 3])) > self.kcfg.min_translation
         )
 
-    def _insert_keyframe(self, pose, frame: pre_ops.Frame,
+    # -- batched pair ICP ---------------------------------------------------
+
+    def _ensure_batch_icps(self):
+        """Vmapped candidate-ICP jits: ALL loop/odometry/relocalization
+        candidates run in ONE dispatch and their results come back in ONE
+        fetch — a dispatch+fetch round per candidate costs a full tunnel
+        RTT each (~30 ms) and was the dominant keyframe-frame cost."""
+        if self._batch_fwd is not None:
+            return
+        lcam, icfg = self._lcam, self.config.icp
+
+        def pack(res):
+            return jnp.concatenate(
+                [res.transform.reshape(-1, 16),
+                 res.error[:, None], res.count[:, None],
+                 icp_ops.observability(res)[:, None]], axis=1
+            )
+
+        def fwd(src, tgts, inits):
+            return pack(jax.vmap(
+                lambda t, i: icp_ops.icp_align(src, t, lcam, icfg,
+                                               init_T=i)
+            )(tgts, inits))
+
+        def rev(srcs, tgt, inits):
+            return pack(jax.vmap(
+                lambda s, i: icp_ops.icp_align(s, tgt, lcam, icfg,
+                                               init_T=i)
+            )(srcs, inits))
+
+        self._batch_fwd = jax.jit(fwd)
+        self._batch_rev = jax.jit(rev)
+        h, w = self._lcam.height, self._lcam.width
+        self._zero_small = pre_ops.Frame(
+            vertices=jnp.zeros((h, w, 3), jnp.float32),
+            normals=jnp.zeros((h, w, 3), jnp.float32),
+            depth=jnp.zeros((h, w), jnp.float32),
+        )
+
+    def _run_batch(self, direction, small, cand_frames, inits, width):
+        """Pad candidates to ``width``, run the vmapped ICP, return
+        (transforms (C,4,4), errors (C,), counts (C,), observability (C,))
+        as numpy — ONE dispatch, ONE fetch for the whole candidate set."""
+        self._ensure_batch_icps()
+        C = width
+        frames = list(cand_frames) + [self._zero_small] * (C - len(cand_frames))
+        inits = list(inits) + [np.eye(4, dtype=np.float32)] * (
+            C - len(inits)
+        )
+        tgts = jax.tree.map(lambda *xs: jnp.stack(xs), *frames)
+        inits_j = jnp.asarray(np.stack(inits).astype(np.float32))
+        fn = self._batch_fwd if direction == "fwd" else self._batch_rev
+        out = np.asarray(fn(small, tgts, inits_j) if direction == "fwd"
+                         else fn(tgts, small, inits_j))
+        return (out[:, :16].reshape(C, 4, 4), out[:, 16], out[:, 17],
+                out[:, 18])
+
+    def _edge_ok_np(self, T, err, cnt, obs) -> bool:
+        return (
+            bool(np.isfinite(T).all())
+            and cnt >= self.kcfg.min_loop_inliers
+            and err <= self.kcfg.max_loop_error
+            and obs >= self.kcfg.min_loop_obs
+        )
+
+    def _mutual_ok_np(self, comp) -> bool:
+        return (
+            float(np.linalg.norm(comp[:3, 3]))
+            <= self.kcfg.loop_mutual_max_trans
+            and _rot_deg_np(comp) <= self.kcfg.loop_mutual_max_rot_deg
+        )
+
+    def _insert_keyframe(self, pose_np: np.ndarray, frame: pre_ops.Frame,
                          depth_raw) -> None:
         k = len(self.keyframes)
         if not self._ensure_pose_capacity():
             return
         small = self._downsample(frame)
-        self.graph = pose_graph.add_pose(self.graph, pose)
+        self._add_pose(pose_np)
         rec = _KeyframeRecord(index=k, frame_index=self._frame_idx,
                               frame=small,
                               depth_raw=np.asarray(depth_raw,
@@ -291,96 +396,95 @@ class KeyframeSLAM:
 
         loop_closed = False
         if k > 0:
+            # candidate set: [0] = odometry edge to the previous keyframe,
+            # [1:] = loop candidates passing the position/angle gates
+            # (all host-side numpy — no device fetch)
             prev = self.keyframes[-1]
-            prev_pose = self._kf_pose(prev.index)
-            init = se3.inverse(prev_pose) @ pose
-            res = self._pair_icp(small, prev.frame, init)
-            meas = res.transform if self._edge_ok(res) else init
-            if self._ensure_edge_capacity():
-                self.graph = pose_graph.add_edge(
-                    self.graph, prev.index, k, meas,
-                    weight=self.kcfg.odometry_weight,
+            cands = [prev]
+            inits = [np.linalg.inv(self._poses_np[prev.index]) @ pose_np]
+            p_new = pose_np[:3, 3]
+            dir_new = pose_np[:3, 2]
+            cos_gate = np.cos(np.deg2rad(self.kcfg.loop_max_angle_deg))
+            scored = []
+            for r in self.keyframes[
+                : max(0, k - self.kcfg.min_loop_separation)
+            ]:
+                old = self._poses_np[r.index]
+                dist = float(np.linalg.norm(old[:3, 3] - p_new))
+                if dist > self.kcfg.loop_radius:
+                    continue
+                if float(old[:3, 2] @ dir_new) < cos_gate:
+                    continue
+                scored.append((dist, r))
+            scored.sort(key=lambda e: e[0])
+            width = max(self.kcfg.loop_max_batch, 1)
+            for _, r in scored[: width - 1]:
+                cands.append(r)
+                inits.append(
+                    np.linalg.inv(self._poses_np[r.index]) @ pose_np
                 )
-            loop_closed = self._try_loop_closures(k, pose, small)
+
+            Ts, errs, cnts, obs = self._run_batch("fwd", small,
+                                                  [c.frame for c in cands],
+                                                  inits, width)
+            # odometry edge (fall back to the init on a failed pair ICP)
+            meas = (Ts[0]
+                    if self._edge_ok_np(Ts[0], errs[0], cnts[0], obs[0])
+                    else inits[0])
+            if self._ensure_edge_capacity():
+                self._add_edge(prev.index, k, meas,
+                               self.kcfg.odometry_weight)
+            # loop candidates passing the forward gates
+            passing = [
+                i for i in range(1, len(cands))
+                if self._edge_ok_np(Ts[i], errs[i], cnts[i], obs[i])
+            ]
+            if passing and self.kcfg.loop_mutual_check:
+                rT, _, _, _ = self._run_batch(
+                    "rev", small,
+                    [cands[i].frame for i in passing],
+                    [np.linalg.inv(Ts[i]) for i in passing], width,
+                )
+                passing = [
+                    i for j, i in enumerate(passing)
+                    if np.isfinite(rT[j]).all()
+                    and self._mutual_ok_np(Ts[i] @ rT[j])
+                ]
+            for i in passing:
+                if not self._ensure_edge_capacity():
+                    break
+                self._add_edge(cands[i].index, k, Ts[i],
+                               self.kcfg.loop_weight)
+                loop_closed = True
 
         self.keyframes.append(rec)
         if loop_closed:
-            self._optimize()
+            return self._optimize()
+        return None
 
-    def _edge_ok(self, res: icp_ops.ICPResult) -> bool:
-        return (
-            bool(jnp.all(jnp.isfinite(res.transform)))
-            and int(res.count) >= self.kcfg.min_loop_inliers
-            and float(res.error) <= self.kcfg.max_loop_error
-        )
-
-    def _mutually_consistent(self, small, tgt_frame, T_fwd) -> bool:
-        """Register the reverse direction and require the composition to
-        be near identity.  A sliding or wrong-basin forward registration
-        (degenerate geometry: flat walls, symmetric scenes) almost never
-        inverts consistently, while a true registration does."""
-        rev = self._pair_icp(tgt_frame, small, se3.inverse(T_fwd))
-        if not bool(jnp.all(jnp.isfinite(rev.transform))):
-            return False
-        comp = T_fwd @ rev.transform
-        dt = float(jnp.linalg.norm(comp[:3, 3]))
-        dr = float(np.degrees(float(se3.rotation_angle(comp))))
-        return (
-            dt <= self.kcfg.loop_mutual_max_trans
-            and dr <= self.kcfg.loop_mutual_max_rot_deg
-        )
-
-    def _try_loop_closures(self, k: int, pose, small) -> bool:
-        """Register the new keyframe against older keyframes that are both
-        NEAR (position radius) and CO-ORIENTED (optical-axis angle gate) —
-        then accept an edge only if the ICP passes the inlier/error gates
-        AND, optionally, the forward/reverse mutual-consistency check."""
-        added = False
-        p_new = np.asarray(pose[:3, 3])
-        dir_new = np.asarray(pose[:3, 2])
-        cos_gate = np.cos(np.deg2rad(self.kcfg.loop_max_angle_deg))
-        for rec in self.keyframes[: max(0, k - self.kcfg.min_loop_separation)]:
-            old_pose = self._kf_pose(rec.index)
-            dist = float(np.linalg.norm(np.asarray(old_pose[:3, 3]) - p_new))
-            if dist > self.kcfg.loop_radius:
-                continue
-            if float(np.asarray(old_pose[:3, 2]) @ dir_new) < cos_gate:
-                continue
-            init = se3.inverse(old_pose) @ pose
-            res = self._pair_icp(small, rec.frame, init)
-            if not self._edge_ok(res):
-                continue
-            if self.kcfg.loop_mutual_check and not self._mutually_consistent(
-                small, rec.frame, res.transform
-            ):
-                continue
-            if not self._ensure_edge_capacity():
-                break
-            self.graph = pose_graph.add_edge(
-                self.graph, rec.index, k, res.transform,
-                weight=self.kcfg.loop_weight,
-            )
-            added = True
-        return added
-
-    def _optimize(self) -> None:
+    def _optimize(self) -> np.ndarray:
         """Run BA, propagate the last-keyframe correction to the live
         tracking pose, and — when the correction is significant — rebuild
         the map from the stored keyframe depths at their corrected poses
         (kcfg.rebuild_map).  Without the rebuild the fused TSDF keeps its
         drifted geometry and subsequent frame-to-model tracking fights the
-        correction instead of benefiting from it."""
+        correction instead of benefiting from it.  Returns the correction
+        (numpy) so a pending drain can retro-apply it to in-flight
+        frames."""
         last_idx = self.keyframes[-1].index
-        old_poses = np.asarray(self.graph.poses)
+        old_poses = self._poses_np[: self._n_poses].copy()
         old_last = old_poses[last_idx]
         self.graph, info = self._run_ba()
-        new_last = self._kf_pose(last_idx)
-        correction = np.asarray(new_last) @ np.linalg.inv(old_last)
+        # refresh the host mirror from the optimized device graph
+        self._poses_np[: self._n_poses] = np.asarray(
+            self.graph.poses[: self._n_poses]
+        )
+        new_last = self._poses_np[last_idx]
+        correction = new_last @ np.linalg.inv(old_last)
         self._apply_correction(jnp.asarray(correction, dtype=jnp.float32))
 
         trans = float(np.linalg.norm(correction[:3, 3]))
-        rot = float(np.degrees(float(se3.rotation_angle(
-            jnp.asarray(correction, dtype=jnp.float32)))))
+        rot = _rot_deg_np(correction)
         rebuilt = False
         mode = None
         n_reint = 0
@@ -407,7 +511,7 @@ class KeyframeSLAM:
             {
                 "frame": self._frame_idx,
                 "keyframes": last_idx + 1,
-                "edges": int(self.graph.num_edges),
+                "edges": self._n_edges,
                 "chi2_initial": float(info.chi2_initial),
                 "chi2_final": float(info.chi2_final),
                 "correction_trans_m": trans,
@@ -417,13 +521,14 @@ class KeyframeSLAM:
                 "keyframes_reintegrated": n_reint,
             }
         )
+        return correction
 
     def _incremental_reintegrate(self, old_poses: np.ndarray) -> int:
         """De-integrate + re-integrate only the keyframes whose BA-corrected
         pose moved beyond the rebuild_move thresholds; unmoved keyframes'
         contributions stay in place untouched (exact — the weighted average
         is invertible).  Returns the number reintegrated."""
-        new_poses = np.asarray(self.graph.poses)
+        new_poses = self._poses_np
         self._ensure_jits()
         if self._reintegrate is None:
             self._reintegrate = make_reintegrate(self.config)
@@ -433,8 +538,7 @@ class KeyframeSLAM:
         for rec in self.keyframes:
             delta = np.linalg.inv(old_poses[rec.index]) @ new_poses[rec.index]
             dt = float(np.linalg.norm(delta[:3, 3]))
-            dr = float(np.degrees(float(se3.rotation_angle(
-                jnp.asarray(delta, dtype=jnp.float32)))))
+            dr = _rot_deg_np(delta)
             if (
                 dt <= self.kcfg.rebuild_move_min_trans
                 and dr <= self.kcfg.rebuild_move_min_rot_deg
@@ -535,26 +639,36 @@ class KeyframeSLAM:
         )
         small = self._downsample(frame)
         if int(jnp.sum(small.depth > 0)) < self.kcfg.min_loop_inliers:
-            return info   # blackout frame: nothing to register
-        best = None
-        eye = jnp.eye(4, dtype=jnp.float32)
-        for rec in self.keyframes[-self.kcfg.reloc_max_candidates:]:
-            res = self._pair_icp(small, rec.frame, eye)
-            if not self._edge_ok(res):
-                continue
-            if self.kcfg.loop_mutual_check and not self._mutually_consistent(
-                small, rec.frame, res.transform
-            ):
-                continue
-            score = (int(res.count), -float(res.error))
-            if best is None or score > best[0]:
-                best = (score, rec, res)
-        if best is None:
-            return info
-        _, rec, res = best
-        pose = jnp.asarray(self._kf_pose(rec.index) @ res.transform)
+            return None   # blackout frame: nothing to register
+        cands = self.keyframes[-self.kcfg.reloc_max_candidates:]
+        width = max(self.kcfg.reloc_max_candidates, 1)
+        eye = np.eye(4, dtype=np.float32)
+        Ts, errs, cnts, obs = self._run_batch(
+            "fwd", small, [c.frame for c in cands], [eye] * len(cands),
+            width,
+        )
+        passing = [
+            i for i in range(len(cands))
+            if self._edge_ok_np(Ts[i], errs[i], cnts[i], obs[i])
+        ]
+        if passing and self.kcfg.loop_mutual_check:
+            rT, _, _, _ = self._run_batch(
+                "rev", small, [cands[i].frame for i in passing],
+                [np.linalg.inv(Ts[i]) for i in passing], width,
+            )
+            passing = [
+                i for j, i in enumerate(passing)
+                if np.isfinite(rT[j]).all()
+                and self._mutual_ok_np(Ts[i] @ rT[j])
+            ]
+        if not passing:
+            return None
+        best = max(passing, key=lambda i: (cnts[i], -errs[i]))
+        rec = cands[best]
+        pose_np = (self._poses_np[rec.index] @ Ts[best]).astype(np.float32)
         self._ensure_jits()
         d = self._driver
+        pose = jnp.asarray(pose_np)
         model = self._render_model(d.state.hmap, pose)
         d.state = d.state._replace(
             pose=pose, model=model, vel=jnp.eye(4, dtype=jnp.float32)
@@ -563,18 +677,69 @@ class KeyframeSLAM:
         self.relocalizations.append({
             "frame": self._frame_idx,
             "keyframe": rec.index,
-            "inliers": int(res.count),
-            "error": float(res.error),
+            "inliers": int(cnts[best]),
+            "error": float(errs[best]),
         })
-        # the pose is recovered (trajectory/bookkeeping use it); tracked
-        # stays False — ICP-to-model did fail on this frame
-        return info._replace(pose=pose)
+        return pose_np
 
     # -- main entry ----------------------------------------------------------
 
     def process(self, depth_raw) -> hash_slam.StepInfo:
-        info = self._run_step(jnp.asarray(depth_raw))
-        if bool(info.tracked):
+        """One frame: dispatch the jitted pipeline step immediately (it
+        pipelines with in-flight work), defer the host-side keyframe
+        bookkeeping until ``sync_every`` frames of poses can be fetched in
+        ONE transfer (kcfg.sync_every; 1 = fetch per frame)."""
+        d = jnp.asarray(depth_raw)
+        info = self._run_step(d)
+        self.infos.append(info)
+        self._frame_idx += 1
+        self._pending.append((d, info))
+        if len(self._pending) >= max(self.kcfg.sync_every, 1):
+            self._drain()
+        return info
+
+    def flush(self) -> None:
+        """Run deferred bookkeeping for all in-flight frames."""
+        if self._pending:
+            self._drain()
+
+    def _drain(self) -> None:
+        pend = self._pending
+        self._pending = []
+        # ONE device concat + ONE host fetch for the whole batch
+        packed = jnp.concatenate(
+            [
+                jnp.stack([i.pose.reshape(16) for _, i in pend]),
+                jnp.stack(
+                    [i.tracked.astype(jnp.float32) for _, i in pend]
+                )[:, None],
+            ],
+            axis=1,
+        )
+        arr = np.asarray(packed)
+        frame0 = self._frame_idx - len(pend)
+        saved = self._frame_idx
+        corr = None   # correction accumulated within this batch
+        try:
+            for b, (d, info) in enumerate(pend):
+                pose_np = arr[b, :16].reshape(4, 4).astype(np.float32)
+                if corr is not None:
+                    pose_np = corr @ pose_np
+                tracked = arr[b, 16] > 0.5
+                # event logs inside the per-frame logic stamp the frame's
+                # own index, not the batch-end counter
+                self._frame_idx = frame0 + b
+                c = self._per_frame(d, pose_np, tracked)
+                if c is not None:
+                    corr = c if corr is None else c @ corr
+        finally:
+            self._frame_idx = saved
+
+    def _per_frame(self, depth_raw, pose_np, tracked):
+        """Deferred per-frame bookkeeping.  Returns a BA correction to
+        retro-apply to later in-flight frames, or None."""
+        correction = None
+        if tracked:
             self._lost_streak = 0
         else:
             self._lost_streak += 1
@@ -586,27 +751,30 @@ class KeyframeSLAM:
                 and (self._lost_streak - r.reloc_after) % r.reloc_interval
                 == 0
             ):
-                info = self._relocalize(depth_raw, info)
-        if self._should_insert(info.pose):
+                new_pose = self._relocalize(depth_raw, None)
+                if new_pose is not None:
+                    pose_np = new_pose
+        if self._should_insert(pose_np):
             # preprocess only when a keyframe is actually inserted — on
             # ordinary frames the jitted step already did it internally
             frame = pre_ops.preprocess(
                 jnp.asarray(depth_raw), self.config.camera,
                 self.config.frontend,
             )
-            self._insert_keyframe(info.pose, frame, depth_raw)
+            correction = self._insert_keyframe(pose_np, frame, depth_raw)
+            if correction is not None:
+                pose_np = (correction @ pose_np).astype(np.float32)
         kf = self.keyframes[-1]
-        rel = se3.inverse(self._kf_pose(kf.index)) @ self._pose
-        self._frame_refs.append((kf.index, np.asarray(rel)))
-        self.infos.append(info)
-        self._frame_idx += 1
-        return info
+        rel = np.linalg.inv(self._poses_np[kf.index]) @ pose_np
+        self._frame_refs.append((kf.index, rel.astype(np.float32)))
+        return correction
 
     def trajectory(self) -> List[np.ndarray]:
         """Full trajectory with all BA corrections applied retroactively."""
-        poses = np.asarray(self.graph.poses)
+        self.flush()
+        poses = self._poses_np
         return [poses[k] @ rel for k, rel in self._frame_refs]
 
     def keyframe_trajectory(self) -> List[np.ndarray]:
-        poses = np.asarray(self.graph.poses)
-        return [poses[rec.index] for rec in self.keyframes]
+        self.flush()
+        return [self._poses_np[rec.index] for rec in self.keyframes]

@@ -60,6 +60,13 @@ class ICPResult(NamedTuple):
     error: jnp.ndarray       # mean squared point-to-plane residual
     count: jnp.ndarray       # inliers at the final iteration
     iters: jnp.ndarray       # iterations executed
+    # final-iteration normal matrix (6, 6): its smallest eigenvalue
+    # (normalized by count) measures solution observability — ~0 on
+    # sliding-degenerate geometry (flat walls), ~1e-2 on structured
+    # scenes.  The loop-closure observability gate reads it
+    # (models/keyframe_slam; measured thresholds in
+    # tests/test_loop_gating.py).
+    JTJ: jnp.ndarray
 
 
 def _sign_nz(x: jnp.ndarray) -> jnp.ndarray:
@@ -263,14 +270,14 @@ def icp_align(
         return T_new, sys, jnp.sum(delta * delta)
 
     def cond(state):
-        T, it, dnorm, err, cnt = state
+        T, it, dnorm, err, cnt, JTJ = state
         return (it < cfg.max_iters) & (dnorm > cfg.update_tol**2)
 
     def body(state):
-        T, it, dnorm, err, cnt = state
+        T, it, dnorm, err, cnt, _ = state
         T_new, sys, d2 = step(T)
         mse = sys.error / jnp.maximum(sys.count, 1.0)
-        return (T_new, it + 1, d2, mse, sys.count)
+        return (T_new, it + 1, d2, mse, sys.count, sys.JTJ)
 
     init = (
         init_T,
@@ -278,9 +285,22 @@ def icp_align(
         jnp.float32(jnp.inf),
         jnp.float32(jnp.inf),
         jnp.float32(0.0),
+        jnp.zeros((6, 6), dtype=jnp.float32),
     )
-    T, iters, _, err, count = jax.lax.while_loop(cond, body, init)
-    return ICPResult(transform=T, error=err, count=count, iters=iters)
+    T, iters, _, err, count, JTJ = jax.lax.while_loop(cond, body, init)
+    return ICPResult(transform=T, error=err, count=count, iters=iters,
+                     JTJ=JTJ)
+
+
+def observability(res: ICPResult) -> jnp.ndarray:
+    """Normalized smallest eigenvalue of the final normal matrix: ~0 when
+    some twist direction is unconstrained (pure wall: sliding; corner:
+    translation along the fold), >= ~1e-2 on structured scenes.  The
+    direct test for the sliding registrations that pass residual/inlier
+    gates (a flat cost along the slide direction IS a null JTJ
+    direction)."""
+    E = res.JTJ / jnp.maximum(res.count, 1.0)[..., None, None]
+    return jnp.linalg.eigvalsh(E)[..., 0]
 
 
 def alignment_score_sums(

@@ -176,14 +176,14 @@ def _icp_level_sharded(src_l: Frame, tgt_l: Frame, lcam, cfg, n: int,
         return se3.exp(delta) @ T, sys, jnp.sum(delta * delta)
 
     def cond(state):
-        T, it, dnorm, err, cnt = state
+        T, it, dnorm, err, cnt, JTJ = state
         return (it < max_iters) & (dnorm > cfg.update_tol**2)
 
     def body(state):
-        T, it, dnorm, err, cnt = state
+        T, it, dnorm, err, cnt, _ = state
         T_new, sys, d2 = gn(T)
         mse = sys.error / jnp.maximum(sys.count, 1.0)
-        return (T_new, it + 1, d2, mse, sys.count)
+        return (T_new, it + 1, d2, mse, sys.count, sys.JTJ)
 
     init = (
         T0,
@@ -191,10 +191,11 @@ def _icp_level_sharded(src_l: Frame, tgt_l: Frame, lcam, cfg, n: int,
         jnp.float32(jnp.inf),
         jnp.float32(jnp.inf),
         jnp.float32(0.0),
+        jnp.zeros((6, 6), dtype=jnp.float32),
     )
-    T, iters, _, err, count = jax.lax.while_loop(cond, body, init)
+    T, iters, _, err, count, JTJ = jax.lax.while_loop(cond, body, init)
     return icp_ops.ICPResult(
-        transform=T, error=err, count=count, iters=iters
+        transform=T, error=err, count=count, iters=iters, JTJ=JTJ
     )
 
 

@@ -368,6 +368,7 @@ def save_keyframe_slam(path: str, kslam) -> None:
 
     The reference's only persistence is a debug text dump
     (reference: SDFRenderer.cpp:71-110)."""
+    kslam.flush()   # run deferred bookkeeping for in-flight frames
     extra = {}
     if kslam.keyframes:
         extra["kf_depths"] = np.stack(
@@ -441,6 +442,13 @@ def load_keyframe_slam(path: str, mesh=None):
     k._reintegrate = None
     k._map_keyframe_only = False
     k._lost_streak = 0
+    k._pending = []
+    k._poses_np = np.asarray(graph.poses).astype(np.float32).copy()
+    k._n_poses = int(graph.num_poses)
+    k._n_edges = int(graph.num_edges)
+    k._batch_fwd = None
+    k._batch_rev = None
+    k._zero_small = None
     k.keyframes = []
     k._frame_refs = []
     k.ba_events = []
