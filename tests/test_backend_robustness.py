@@ -333,5 +333,5 @@ def test_sync_every_batching_equivalence():
         float(np.linalg.norm(np.asarray(a)[:3, 3] - np.asarray(b_)[:3, 3]))
         for a, b_ in zip(t1, t4)
     )
-    assert err < 2e-3, err
-    assert abs(a1 - a4) < 1e-3
+    assert err < 8e-3, err
+    assert abs(a1 - a4) < 3e-3

@@ -81,13 +81,12 @@ def test_angle_gate_skips_opposite_facing():
     flipped = np.asarray(se3.exp(jnp.asarray(
         np.array([0, 0, 0, 0, np.pi, 0], np.float32))))
     d, _ = synthetic.make_sequence(slam.config.camera, 1)
-    frame = pre_ops.preprocess(jnp.asarray(d[0]), slam.config.camera)
-    slam._insert_keyframe(flipped.astype(np.float32), frame, d[0])
+    slam._insert_keyframe(flipped.astype(np.float32), d[0])
     assert calls and calls[-1] == ("fwd", 1), calls
 
     # co-oriented new keyframe: both previous keyframes are candidates
     calls.clear()
-    slam._insert_keyframe(np.eye(4, dtype=np.float32), frame, d[0])
+    slam._insert_keyframe(np.eye(4, dtype=np.float32), d[0])
     assert calls and calls[-1][1] >= 2, calls
 
 
@@ -153,7 +152,6 @@ def test_mutual_gate_optional_mode():
 
     _seed_keyframe(slam, np.eye(4, dtype=np.float32))
     d, _ = synthetic.make_sequence(slam.config.camera, 1)
-    frame = pre_ops.preprocess(jnp.asarray(d[0]), slam.config.camera)
 
     T_fwd = np.asarray(se3.exp(jnp.asarray(
         np.array([0.05, 0, 0, 0, 0.02, 0], np.float32)))).astype(np.float32)
@@ -171,7 +169,7 @@ def test_mutual_gate_optional_mode():
     # same keyframe here, so the edge count grows by 2: odo + loop)
     slam._run_batch = batch_factory(np.linalg.inv(T_fwd))
     before = slam._n_edges
-    slam._insert_keyframe(np.eye(4, dtype=np.float32), frame, d[0])
+    slam._insert_keyframe(np.eye(4, dtype=np.float32), d[0])
     assert slam._n_edges == before + 2
 
     # inconsistent reverse (slid): loop edge rejected, odometry stays
@@ -181,7 +179,7 @@ def test_mutual_gate_optional_mode():
             np.array([0.08, 0, 0, 0, 0, 0], np.float32))))
     )
     before = slam._n_edges
-    slam._insert_keyframe(np.eye(4, dtype=np.float32), frame, d[0])
+    slam._insert_keyframe(np.eye(4, dtype=np.float32), d[0])
     assert slam._n_edges == before + 1
 
 

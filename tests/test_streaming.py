@@ -179,6 +179,10 @@ def test_streaming_composes_with_keyframe_backend():
         base,
         keyframes=dataclasses.replace(
             base.keyframes, min_rotation_deg=8.0, min_translation=0.10,
+            # deliberately undersized: the multi-room sweep must GROW the
+            # graph past this instead of silently degrading to odometry
+            # (VERDICT r2 item 2's done criterion)
+            max_keyframes=4, max_edges=8,
         ),
     )
     slam = keyframe_slam.KeyframeSLAM(cfg)
@@ -186,10 +190,21 @@ def test_streaming_composes_with_keyframe_backend():
         slam.process(d)
     ate = metrics.ate_rmse(slam.trajectory(), gt, align=False)
     assert ate < 0.1, f"keyframe+streaming ATE {ate}"
-    assert len(slam.keyframes) >= 4
+    assert len(slam.keyframes) > 4, "graph must grow past max_keyframes"
+    assert not slam.saturated
+    assert any(e["kind"] == "grow_keyframes" for e in slam.capacity_events)
+    # the return leg re-registers against outbound keyframes: loop edges
+    # exist on the GROWN graph (odometry edges = K-1, extras are loops)
+    assert slam._n_edges > len(slam.keyframes) - 1, (
+        slam._n_edges, len(slam.keyframes),
+    )
     store = slam._driver.store
     assert store is not None and store.total_evicted > 0
-    assert store.total_restored > 0
+    # a BA map rebuild swaps in a FRESH store (the keyframe depths are
+    # the durable record), resetting its counters — restores must have
+    # happened OR a rebuild explains their absence
+    assert (store.total_restored > 0
+            or any(e["map_rebuilt"] for e in slam.ba_events))
 
 
 def test_streaming_checkpoint_roundtrip(tmp_path):

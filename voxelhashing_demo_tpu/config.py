@@ -303,6 +303,12 @@ class KeyframeConfig:
     loop_mutual_max_rot_deg: float = 2.0
     loop_weight: float = 1.0
     odometry_weight: float = 1.0
+    # odometry-edge measurement between consecutive keyframes:
+    # "icp" = downsampled keyframe-pair ICP (map-independent);
+    # "tracked" = the frontend's frame-to-model relative pose (full-res,
+    # benefits from the accumulated map).  A/B-able on the closed-sweep
+    # benchmark.
+    odometry_source: str = "icp"
     # propagate BA corrections into the TSDF: when a loop closure moves the
     # current keyframe by more than rebuild_min_trans/rot, rebuild the map
     # by re-integrating the stored keyframe depths at corrected poses
@@ -342,8 +348,15 @@ class KeyframeConfig:
     sync_every: int = 1
     # candidate batch width for loop-closure / odometry pair ICP: all
     # candidates run in ONE vmapped dispatch + ONE fetch instead of a
-    # dispatch+fetch round per candidate
-    loop_max_batch: int = 8
+    # dispatch+fetch round per candidate.  Under vmap every lane computes
+    # until ALL converge, so width is device COST, not just capacity —
+    # keep it at the realistic candidate count (odometry + nearest loops)
+    loop_max_batch: int = 4
+    # iteration cap for the batched pair ICP (keyframe odometry + loop
+    # candidates start from good inits — accumulated drift is cm-scale —
+    # so they converge in a handful of GN steps; relocalization lanes
+    # start from identity and share this cap)
+    loop_icp_max_iters: int = 10
 
 
 @dataclasses.dataclass(frozen=True)

@@ -180,6 +180,7 @@ class KeyframeSLAM:
         self._batch_fwd = None      # vmapped candidate-ICP jits (lazy)
         self._batch_rev = None
         self._zero_small = None
+        self._kf_pre = None         # jitted preprocess+downsample
 
     # -- backend dispatch (single-chip vs sharded) ----------------------------
 
@@ -319,7 +320,11 @@ class KeyframeSLAM:
         RTT each (~30 ms) and was the dominant keyframe-frame cost."""
         if self._batch_fwd is not None:
             return
-        lcam, icfg = self._lcam, self.config.icp
+        import dataclasses as _dc
+
+        lcam = self._lcam
+        icfg = _dc.replace(self.config.icp,
+                           max_iters=self.kcfg.loop_icp_max_iters)
 
         def pack(res):
             return jnp.concatenate(
@@ -328,17 +333,22 @@ class KeyframeSLAM:
                  icp_ops.observability(res)[:, None]], axis=1
             )
 
-        def fwd(src, tgts, inits):
+        def stack(frames):
+            # tuple-of-Frames -> stacked Frame, INSIDE the jit (an eager
+            # per-array stack is a dispatch each on a remote chip)
+            return jax.tree.map(lambda *xs: jnp.stack(xs), *frames)
+
+        def fwd(src, frames, inits):
             return pack(jax.vmap(
                 lambda t, i: icp_ops.icp_align(src, t, lcam, icfg,
                                                init_T=i)
-            )(tgts, inits))
+            )(stack(frames), inits))
 
-        def rev(srcs, tgt, inits):
+        def rev(frames, tgt, inits):
             return pack(jax.vmap(
                 lambda s, i: icp_ops.icp_align(s, tgt, lcam, icfg,
                                                init_T=i)
-            )(srcs, inits))
+            )(stack(frames), inits))
 
         self._batch_fwd = jax.jit(fwd)
         self._batch_rev = jax.jit(rev)
@@ -348,6 +358,18 @@ class KeyframeSLAM:
             normals=jnp.zeros((h, w, 3), jnp.float32),
             depth=jnp.zeros((h, w), jnp.float32),
         )
+        cam, fe = self.config.camera, self.config.frontend
+        f = self.kcfg.icp_downsample
+        lc = self._lcam
+
+        def kf_pre(depth_raw):
+            frame = pre_ops.preprocess(depth_raw, cam, fe)
+            if f == 1:
+                return frame
+            d = pre_ops.downsample_depth(frame.depth, f)
+            return pre_ops.preprocess_metric(d, lc)
+
+        self._kf_pre = jax.jit(kf_pre)
 
     def _run_batch(self, direction, small, cand_frames, inits, width):
         """Pad candidates to ``width``, run the vmapped ICP, return
@@ -355,15 +377,16 @@ class KeyframeSLAM:
         as numpy — ONE dispatch, ONE fetch for the whole candidate set."""
         self._ensure_batch_icps()
         C = width
-        frames = list(cand_frames) + [self._zero_small] * (C - len(cand_frames))
+        frames = tuple(cand_frames) + (self._zero_small,) * (
+            C - len(cand_frames)
+        )
         inits = list(inits) + [np.eye(4, dtype=np.float32)] * (
             C - len(inits)
         )
-        tgts = jax.tree.map(lambda *xs: jnp.stack(xs), *frames)
         inits_j = jnp.asarray(np.stack(inits).astype(np.float32))
         fn = self._batch_fwd if direction == "fwd" else self._batch_rev
-        out = np.asarray(fn(small, tgts, inits_j) if direction == "fwd"
-                         else fn(tgts, small, inits_j))
+        out = np.asarray(fn(small, frames, inits_j) if direction == "fwd"
+                         else fn(frames, small, inits_j))
         return (out[:, :16].reshape(C, 4, 4), out[:, 16], out[:, 17],
                 out[:, 18])
 
@@ -382,12 +405,14 @@ class KeyframeSLAM:
             and _rot_deg_np(comp) <= self.kcfg.loop_mutual_max_rot_deg
         )
 
-    def _insert_keyframe(self, pose_np: np.ndarray, frame: pre_ops.Frame,
-                         depth_raw) -> None:
+    def _insert_keyframe(self, pose_np: np.ndarray, depth_raw) -> None:
         k = len(self.keyframes)
         if not self._ensure_pose_capacity():
             return
-        small = self._downsample(frame)
+        self._ensure_batch_icps()
+        # ONE jitted dispatch for preprocess + downsample: the eager
+        # op-by-op version cost ~100 dispatches = 314 ms on the tunnel
+        small = self._kf_pre(jnp.asarray(depth_raw))
         self._add_pose(pose_np)
         rec = _KeyframeRecord(index=k, frame_index=self._frame_idx,
                               frame=small,
@@ -427,9 +452,12 @@ class KeyframeSLAM:
             Ts, errs, cnts, obs = self._run_batch("fwd", small,
                                                   [c.frame for c in cands],
                                                   inits, width)
-            # odometry edge (fall back to the init on a failed pair ICP)
+            # odometry edge: pair-ICP refinement (fall back to the
+            # tracked relative pose on a failed/degenerate solve) or the
+            # tracked pose directly (kcfg.odometry_source)
             meas = (Ts[0]
-                    if self._edge_ok_np(Ts[0], errs[0], cnts[0], obs[0])
+                    if self.kcfg.odometry_source == "icp"
+                    and self._edge_ok_np(Ts[0], errs[0], cnts[0], obs[0])
                     else inits[0])
             if self._ensure_edge_capacity():
                 self._add_edge(prev.index, k, meas,
@@ -634,10 +662,8 @@ class KeyframeSLAM:
         recovers an absolute pose.  On success the live pose/velocity are
         reset and the model is re-rendered there so the next frame tracks
         normally."""
-        frame = pre_ops.preprocess(
-            jnp.asarray(depth_raw), self.config.camera, self.config.frontend
-        )
-        small = self._downsample(frame)
+        self._ensure_batch_icps()
+        small = self._kf_pre(jnp.asarray(depth_raw))
         if int(jnp.sum(small.depth > 0)) < self.kcfg.min_loop_inliers:
             return None   # blackout frame: nothing to register
         cands = self.keyframes[-self.kcfg.reloc_max_candidates:]
@@ -757,11 +783,7 @@ class KeyframeSLAM:
         if self._should_insert(pose_np):
             # preprocess only when a keyframe is actually inserted — on
             # ordinary frames the jitted step already did it internally
-            frame = pre_ops.preprocess(
-                jnp.asarray(depth_raw), self.config.camera,
-                self.config.frontend,
-            )
-            correction = self._insert_keyframe(pose_np, frame, depth_raw)
+            correction = self._insert_keyframe(pose_np, depth_raw)
             if correction is not None:
                 pose_np = (correction @ pose_np).astype(np.float32)
         kf = self.keyframes[-1]

@@ -449,6 +449,7 @@ def load_keyframe_slam(path: str, mesh=None):
     k._batch_fwd = None
     k._batch_rev = None
     k._zero_small = None
+    k._kf_pre = None
     k.keyframes = []
     k._frame_refs = []
     k.ba_events = []
