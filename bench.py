@@ -181,6 +181,10 @@ def _backend_run(config, hash_slam, synthetic, metrics, num_frames=400):
             config.keyframes, min_loop_separation=8, loop_radius=0.35,
             min_rotation_deg=15.0, min_translation=0.25,
             rebuild_move_min_trans=0.02, rebuild_move_min_rot_deg=1.0,
+            # right-sized graph capacity: the BA jacobian pays for the
+            # STATIC shape (6K tangents), and on-demand growth covers
+            # overflow — ~4x cheaper BA than the 64-pose default here
+            max_keyframes=32, max_edges=128,
         ),
     )
     cam = config.camera

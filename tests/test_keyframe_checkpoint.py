@@ -77,7 +77,7 @@ def test_roundtrip_preserves_backend_state(tmp_path):
     assert len(back.keyframes) == len(slam.keyframes)
     for a, b in zip(slam.keyframes, back.keyframes):
         assert a.index == b.index and a.frame_index == b.frame_index
-        np.testing.assert_array_equal(a.depth_raw, b.depth_raw)
+        np.testing.assert_array_equal(a.depth_np(), b.depth_np())
         # downsampled ICP frames recompute deterministically
         np.testing.assert_allclose(
             np.asarray(a.frame.depth), np.asarray(b.frame.depth),

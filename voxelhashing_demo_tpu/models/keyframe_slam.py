@@ -118,7 +118,19 @@ class _KeyframeRecord:
     index: int                 # keyframe id == pose index in the graph
     frame_index: int           # global frame number
     frame: pre_ops.Frame       # downsampled preprocessed frame (for ICP)
-    depth_raw: np.ndarray      # raw uint16 depth (for map re-integration)
+    # raw uint16 depth on the HOST — only checkpointing needs it, and the
+    # device->host pull costs ~1 RTT + 600 KB per keyframe, so it is
+    # materialized lazily (depth_np) instead of at insertion time
+    depth_raw: np.ndarray = None
+    # device-resident copy: rebuild/reintegration re-fuse keyframe depths
+    # repeatedly, and a host->device upload per use costs tunnel
+    # bandwidth + latency every BA correction
+    depth_dev: jnp.ndarray = None
+
+    def depth_np(self) -> np.ndarray:
+        if self.depth_raw is None:
+            self.depth_raw = np.asarray(self.depth_dev).astype(np.uint16)
+        return self.depth_raw
 
 
 class KeyframeSLAM:
@@ -145,6 +157,12 @@ class KeyframeSLAM:
         self.graph = pose_graph.create(
             self.kcfg.max_keyframes, self.kcfg.max_edges
         )
+        self._init_runtime_state()
+
+    def _init_runtime_state(self) -> None:
+        """Fresh bookkeeping + lazy-jit state.  Shared by ``__init__`` and
+        ``checkpoint.load_keyframe_slam`` (which constructs via __new__) so
+        the two can never drift apart; requires config/kcfg/graph set."""
         self.keyframes: List[_KeyframeRecord] = []
         # per-frame: (keyframe id, relative pose in that keyframe's frame)
         self._frame_refs: List[tuple] = []
@@ -159,7 +177,7 @@ class KeyframeSLAM:
         # tracking-lost recovery bookkeeping (kcfg.relocalize)
         self.relocalizations: List[dict] = []
         self._lost_streak = 0
-        self._lcam = config.camera.scaled(self.kcfg.icp_downsample)
+        self._lcam = self.config.camera.scaled(self.kcfg.icp_downsample)
         self._frame_idx = 0
         self._fuse_only = None      # built lazily on first rebuild
         self._render_model = None
@@ -173,7 +191,7 @@ class KeyframeSLAM:
         self._pending: List[tuple] = []
         self._poses_np = np.broadcast_to(
             np.eye(4, dtype=np.float32),
-            (self.kcfg.max_keyframes, 4, 4),
+            (self.graph.poses.shape[0], 4, 4),
         ).copy()
         self._n_poses = 0
         self._n_edges = 0
@@ -181,6 +199,9 @@ class KeyframeSLAM:
         self._batch_rev = None
         self._zero_small = None
         self._kf_pre = None         # jitted preprocess+downsample
+        self._jit_add_pose = None
+        self._jit_add_edge = None
+        self._pack_drain = None     # jitted drain packing (per batch size)
 
     # -- backend dispatch (single-chip vs sharded) ----------------------------
 
@@ -272,16 +293,20 @@ class KeyframeSLAM:
         return True
 
     def _add_pose(self, T_np: np.ndarray) -> None:
-        self.graph = pose_graph.add_pose(
+        # jitted: the eager version is ~5 dispatches per call on the tunnel
+        if self._jit_add_pose is None:
+            self._jit_add_pose = jax.jit(pose_graph.add_pose)
+            self._jit_add_edge = jax.jit(pose_graph.add_edge)
+        self.graph = self._jit_add_pose(
             self.graph, jnp.asarray(T_np, dtype=jnp.float32)
         )
         self._poses_np[self._n_poses] = T_np
         self._n_poses += 1
 
     def _add_edge(self, i: int, j: int, T_np, weight: float) -> None:
-        self.graph = pose_graph.add_edge(
+        self.graph = self._jit_add_edge(
             self.graph, i, j, jnp.asarray(T_np, dtype=jnp.float32),
-            weight=weight,
+            jnp.float32(weight),
         )
         self._n_edges += 1
 
@@ -416,8 +441,7 @@ class KeyframeSLAM:
         self._add_pose(pose_np)
         rec = _KeyframeRecord(index=k, frame_index=self._frame_idx,
                               frame=small,
-                              depth_raw=np.asarray(depth_raw,
-                                                   dtype=np.uint16))
+                              depth_dev=jnp.asarray(depth_raw))
 
         loop_closed = False
         if k > 0:
@@ -572,8 +596,10 @@ class KeyframeSLAM:
                 and dr <= self.kcfg.rebuild_move_min_rot_deg
             ):
                 continue
+            dep = (rec.depth_dev if rec.depth_dev is not None
+                   else jnp.asarray(rec.depth_raw))
             hmap = self._reintegrate(
-                hmap, jnp.asarray(rec.depth_raw),
+                hmap, dep,
                 jnp.asarray(old_poses[rec.index]),
                 jnp.asarray(new_poses[rec.index]),
                 jnp.int32(rec.frame_index),
@@ -627,8 +653,10 @@ class KeyframeSLAM:
 
             new_store = BlockStore(self.config.hash)
         for rec in self.keyframes:
+            d = (rec.depth_dev if rec.depth_dev is not None
+                 else jnp.asarray(rec.depth_raw))
             hmap = self._fuse_only(
-                hmap, jnp.asarray(rec.depth_raw),
+                hmap, d,
                 jnp.asarray(poses[rec.index]),
                 jnp.int32(rec.frame_index),
             )
@@ -732,17 +760,23 @@ class KeyframeSLAM:
     def _drain(self) -> None:
         pend = self._pending
         self._pending = []
-        # ONE device concat + ONE host fetch for the whole batch
-        packed = jnp.concatenate(
-            [
-                jnp.stack([i.pose.reshape(16) for _, i in pend]),
-                jnp.stack(
-                    [i.tracked.astype(jnp.float32) for _, i in pend]
-                )[:, None],
-            ],
-            axis=1,
-        )
-        arr = np.asarray(packed)
+        # ONE jitted pack + ONE host fetch for the whole batch (eager
+        # stacking costs ~2 dispatches per pending frame on the tunnel)
+        if self._pack_drain is None:
+            def _pack(poses, tracked):
+                return jnp.concatenate(
+                    [
+                        jnp.stack(poses).reshape(len(poses), 16),
+                        jnp.stack(tracked).astype(jnp.float32)[:, None],
+                    ],
+                    axis=1,
+                )
+
+            self._pack_drain = jax.jit(_pack)
+        arr = np.asarray(self._pack_drain(
+            tuple(i.pose for _, i in pend),
+            tuple(i.tracked for _, i in pend),
+        ))
         frame0 = self._frame_idx - len(pend)
         saved = self._frame_idx
         corr = None   # correction accumulated within this batch

@@ -372,7 +372,7 @@ def save_keyframe_slam(path: str, kslam) -> None:
     extra = {}
     if kslam.keyframes:
         extra["kf_depths"] = np.stack(
-            [r.depth_raw for r in kslam.keyframes]
+            [r.depth_np() for r in kslam.keyframes]
         )
         extra["kf_frame_indices"] = np.array(
             [r.frame_index for r in kslam.keyframes], np.int64
@@ -435,28 +435,11 @@ def load_keyframe_slam(path: str, mesh=None):
     else:
         k._sharded = inner
     k.graph = graph
-    k._lcam = config.camera.scaled(k.kcfg.icp_downsample)
-    k.infos = []
-    k._fuse_only = None
-    k._render_model = None
-    k._reintegrate = None
-    k._map_keyframe_only = False
-    k._lost_streak = 0
-    k._pending = []
+    k._init_runtime_state()
+    # restore the host mirrors from the loaded graph
     k._poses_np = np.asarray(graph.poses).astype(np.float32).copy()
     k._n_poses = int(graph.num_poses)
     k._n_edges = int(graph.num_edges)
-    k._batch_fwd = None
-    k._batch_rev = None
-    k._zero_small = None
-    k._kf_pre = None
-    k.keyframes = []
-    k._frame_refs = []
-    k.ba_events = []
-    k.capacity_events = []
-    k.relocalizations = []
-    k.saturated = False
-    k._frame_idx = 0
 
     with np.load(path) as z:
         if "extra.kf_depths" in z:
