@@ -212,28 +212,50 @@ def make_scan_step(config: PipelineConfig):
 
 def make_evict(config: PipelineConfig):
     """Jitted eviction scan (state donated): pops blocks unseen for
-    stream.max_age frames out of the map as a padded payload batch."""
+    stream.max_age frames out of the map.  Returns (map, keys, payload
+    [tsdf | weight], n): payload stays ON DEVICE so the host can pull a
+    bucket-sized slice after reading ``n`` — fetching the full padded
+    batch cost ~8 MB per evict cycle on the tunnel regardless of how few
+    blocks actually evicted."""
     s = config.stream
 
     def evict(hmap, frame_idx):
-        return hash_ops.evict_stale(
+        hmap, keys, tsdf, weight, n = hash_ops.evict_stale(
             hmap, config.hash, frame_idx, s.max_age, s.max_evict
         )
+        payload = jnp.concatenate([tsdf, weight], axis=1)
+        return hmap, keys, payload, n
 
     return jax.jit(evict, donate_argnums=0)
 
 
-def make_restore(config: PipelineConfig):
-    """Jitted restore (state donated): re-inserts a padded batch of stored
-    blocks with their payload; returns (map, accepted mask)."""
+def make_restore(config: PipelineConfig, batch: int):
+    """Jitted restore for a ``batch``-sized padded upload (state donated):
+    re-inserts stored blocks with their payload; returns (map, accepted).
+    Compiled per power-of-two bucket so a handful of restored blocks does
+    not cost a full max_restore-sized host->device transfer, and the
+    whole batch arrives as ONE packed array [keys-bits | tsdf | weight]
+    — each separate host->device upload pays a fixed tunnel cost."""
+    V = config.hash.voxels_per_block
 
-    def restore(hmap, keys, tsdf, weight, frame_idx):
+    def restore(hmap, packed, frame_idx):
+        keys = jax.lax.bitcast_convert_type(packed[:, 0], jnp.int32)
+        tsdf = packed[:, 1 : 1 + V]
+        weight = packed[:, 1 + V :]
         return hash_ops.restore_blocks(
             hmap, config.hash, keys, tsdf, weight, frame_idx,
             max_weight=config.fusion.max_weight,
         )
 
     return jax.jit(restore, donate_argnums=0)
+
+
+def _bucket(n: int, cap: int) -> int:
+    """Smallest power of two >= n, capped."""
+    b = 1
+    while b < n:
+        b *= 2
+    return min(b, cap)
 
 
 class HashSLAM:
@@ -259,60 +281,84 @@ class HashSLAM:
 
             self.store = BlockStore(config.hash)
             self._evict = make_evict(config)
-            self._restore = make_restore(config)
+            self._restore_jits = {}   # bucket size -> jit
+
+    def _restore_for(self, batch: int):
+        if batch not in self._restore_jits:
+            self._restore_jits[batch] = make_restore(self.config, batch)
+        return self._restore_jits[batch]
 
     def _stream_restore(self):
-        """Restore stored blocks entering the predicted next frustum."""
+        """Restore stored blocks entering the predicted frustum.
+
+        Runs every ``stream.interval`` frames (not per frame: the pose
+        fetch it needs costs a tunnel RTT that stalls dispatch
+        pipelining), predicting the camera ``interval`` frames ahead by
+        the constant-velocity model — the frustum margin and eviction
+        max_age absorb the prediction slack."""
         import numpy as np
 
         s = self.config.stream
         if not len(self.store):
             return
-        pose = np.asarray(self.state.pose)
-        vel = np.asarray(self.state.vel)
+        pv = np.asarray(jnp.stack([self.state.pose, self.state.vel]))
+        pose, vel = pv[0], pv[1]
+        pred = pose @ np.linalg.matrix_power(vel, s.interval)
         keys = self.store.query_frustum(
-            pose @ vel, self.config.camera, self.config.fusion,
+            pred, self.config.camera, self.config.fusion,
             s.restore_margin_px, s.max_restore,
         )
         if keys.size == 0:
             return
         tsdf, weight = self.store.rows_for(keys)
-        pad = s.max_restore - keys.shape[0]
+        # pad only to the bucket size (uploading the full max_restore
+        # padding cost ~8 MB host->device per cycle) and pack keys +
+        # payload into ONE upload
+        b = _bucket(keys.shape[0], s.max_restore)
         from ..geometry.coords import EMPTY_KEY
 
         V = self.config.hash.voxels_per_block
-        keys_p = np.concatenate(
-            [keys, np.full(pad, EMPTY_KEY, dtype=np.int32)]
-        )
-        tsdf_p = np.concatenate(
-            [tsdf, np.zeros((pad, V), np.float32)]
-        )
-        weight_p = np.concatenate(
-            [weight, np.zeros((pad, V), np.float32)]
-        )
-        hmap, accepted = self._restore(
-            self.state.hmap, jnp.asarray(keys_p), jnp.asarray(tsdf_p),
-            jnp.asarray(weight_p), self.state.frame_idx,
+        packed = np.zeros((b, 1 + 2 * V), np.float32)
+        packed[:, 0] = np.full(b, EMPTY_KEY, np.int32).view(np.float32)
+        m = keys.shape[0]
+        packed[:m, 0] = keys.view(np.float32)
+        packed[:m, 1 : 1 + V] = tsdf
+        packed[:m, 1 + V :] = weight
+        hmap, accepted = self._restore_for(b)(
+            self.state.hmap, jnp.asarray(packed), self.state.frame_idx,
         )
         self.state = self.state._replace(hmap=hmap)
         self.store.take(keys, np.asarray(accepted)[: keys.shape[0]])
 
-    def _stream_evict(self):
+    def _evict_into(self, hmap, frame_idx, store):
+        """Run the eviction jit and move the evicted payload into
+        ``store`` (bucket-sized device pull).  Shared by the streaming
+        loop and the keyframe backend's map rebuild."""
         import numpy as np
 
-        hmap, keys, tsdf, weight, n = self._evict(
-            self.state.hmap, self.state.frame_idx
+        hmap, keys, payload, n = self._evict(hmap, frame_idx)
+        n = int(n)
+        if n > 0:
+            # pull only a bucket-sized slice of the padded payload
+            b = _bucket(n, self.config.stream.max_evict)
+            V = self.config.hash.voxels_per_block
+            arr = np.asarray(payload[:b])
+            store.add(np.asarray(keys[:b]), arr[:, :V], arr[:, V:])
+        return hmap
+
+    def _stream_evict(self):
+        hmap = self._evict_into(
+            self.state.hmap, self.state.frame_idx, self.store
         )
         self.state = self.state._replace(hmap=hmap)
-        if int(n) > 0:
-            self.store.add(
-                np.asarray(keys), np.asarray(tsdf), np.asarray(weight)
-            )
 
     def process(self, depth_raw) -> StepInfo:
         streaming = self.store is not None
         if streaming:
-            self._stream_restore()
+            # restore at batch starts only — every host fetch stalls the
+            # dispatch pipeline for a full tunnel RTT
+            if len(self.trajectory) % self.config.stream.interval == 0:
+                self._stream_restore()
         self.state, info = self._step(self.state, jnp.asarray(depth_raw))
         self.trajectory.append(info.pose)
         self.infos.append(info)

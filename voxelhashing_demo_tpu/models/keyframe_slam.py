@@ -661,14 +661,9 @@ class KeyframeSLAM:
                 jnp.int32(rec.frame_index),
             )
             if streaming:
-                hmap, keys, tsdf, weight, n = self._driver._evict(
-                    hmap, jnp.int32(rec.frame_index)
+                hmap = self._driver._evict_into(
+                    hmap, jnp.int32(rec.frame_index), new_store
                 )
-                if int(n) > 0:
-                    new_store.add(
-                        np.asarray(keys), np.asarray(tsdf),
-                        np.asarray(weight),
-                    )
         model = self._render_model(hmap, self.state.pose)
         self.state = self.state._replace(hmap=hmap, model=model)
         if streaming:

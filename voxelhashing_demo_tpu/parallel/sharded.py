@@ -713,17 +713,24 @@ class ShardedHashSLAM:
         self.state = self.state._replace(hmap=hmap)
         self.store.take(keys, np.asarray(accepted)[: keys.shape[0]])
 
-    def _stream_evict(self):
+    def _evict_into(self, hmap, frame_idx, store):
+        """Run the sharded eviction jit and move the payload into
+        ``store`` (interface shared with the single-chip driver for the
+        keyframe backend's map rebuild)."""
         import numpy as np
 
-        hmap, keys, tsdf, weight, n = self._evict(
-            self.state.hmap, self.state.frame_idx
-        )
-        self.state = self.state._replace(hmap=hmap)
+        hmap, keys, tsdf, weight, n = self._evict(hmap, frame_idx)
         if int(n) > 0:
-            self.store.add(
+            store.add(
                 np.asarray(keys), np.asarray(tsdf), np.asarray(weight)
             )
+        return hmap
+
+    def _stream_evict(self):
+        hmap = self._evict_into(
+            self.state.hmap, self.state.frame_idx, self.store
+        )
+        self.state = self.state._replace(hmap=hmap)
 
     def process(self, depth_raw) -> StepInfo:
         if self.store is not None:

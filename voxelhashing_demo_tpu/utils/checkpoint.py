@@ -189,7 +189,7 @@ def load_slam(
             from .blockstore import BlockStore
 
             slam._evict = hash_slam.make_evict(config)
-            slam._restore = hash_slam.make_restore(config)
+            slam._restore_jits = {}
             if "store.keys" in z:
                 slam.store = BlockStore.from_arrays(
                     config.hash, z["store.keys"], z["store.tsdf"],
