@@ -229,3 +229,63 @@ def test_streaming_checkpoint_roundtrip(tmp_path):
     for pa, pb in zip(a.trajectory[cut:], b.trajectory[cut:]):
         np.testing.assert_allclose(np.asarray(pa), np.asarray(pb),
                                    atol=1e-5)
+
+
+def test_bucket_helper():
+    from voxelhashing_demo_tpu.models.hash_slam import _bucket
+
+    assert _bucket(1, 2048) == 1
+    assert _bucket(2, 2048) == 2
+    assert _bucket(3, 2048) == 4
+    assert _bucket(100, 2048) == 128
+    assert _bucket(2048, 2048) == 2048
+    assert _bucket(5000, 2048) == 2048  # capped
+
+
+def test_packed_restore_roundtrip(tiny_cfg):
+    """The single packed upload [key-bits | tsdf | weight] restores
+    bit-exactly through the bucketed jit (key int32 bits survive the
+    float32 view on both ends)."""
+    import dataclasses
+
+    from voxelhashing_demo_tpu.models import hash_slam as hs
+    from voxelhashing_demo_tpu.geometry.coords import EMPTY_KEY
+
+    cfg = dataclasses.replace(tiny_cfg)
+    V = cfg.hash.voxels_per_block
+    rng = np.random.default_rng(0)
+    n, b = 3, 4
+    keys = np.array([7, -1234, 99999 % 2**20], np.int32)
+    tsdf = rng.normal(size=(n, V)).astype(np.float32) * 0.05
+    weight = rng.uniform(1, 5, size=(n, V)).astype(np.float32)
+
+    packed = np.zeros((b, 1 + 2 * V), np.float32)
+    packed[:, 0] = np.full(b, EMPTY_KEY, np.int32).view(np.float32)
+    packed[:n, 0] = keys.view(np.float32)
+    packed[:n, 1 : 1 + V] = tsdf
+    packed[:n, 1 + V :] = weight
+
+    # keys must be valid packed block keys for restore's bucket probe:
+    # use real packed coords instead of arbitrary ints
+    from voxelhashing_demo_tpu.geometry import coords as coords_mod
+
+    blocks = np.array([[1, 2, 3], [-4, 5, -6], [7, -8, 9]], np.int32)
+    keys = np.asarray(
+        coords_mod.pack_block_key(jnp.asarray(blocks), cfg.hash.key_bits)
+    )
+    packed[:n, 0] = keys.view(np.float32)
+
+    restore = hs.make_restore(cfg, b)
+    hmap, accepted = restore(
+        hash_ops.create(cfg.hash), jnp.asarray(packed), jnp.int32(0)
+    )
+    acc = np.asarray(accepted)
+    assert acc[:n].all() and not acc[n:].any()
+    from voxelhashing_demo_tpu.ops.hash_ops import lookup_keys
+
+    ptrs, found = lookup_keys(hmap, cfg.hash, jnp.asarray(keys))
+    assert bool(np.asarray(found).all())
+    got_t = np.asarray(hmap.tsdf)[np.asarray(ptrs)]
+    got_w = np.asarray(hmap.weight)[np.asarray(ptrs)]
+    np.testing.assert_array_equal(got_t, tsdf)
+    np.testing.assert_array_equal(got_w, weight)
