@@ -272,3 +272,17 @@ def test_cli_keyframe_backend_resume(tmp_path, capsys):
     assert resumed["keyframes"] == full["keyframes"]
     assert resumed["graph_edges"] == full["graph_edges"]
     assert abs(resumed["ate_rmse_m"] - full["ate_rmse_m"]) < 1e-3
+
+
+def test_cli_live_view(tmp_path, capsys):
+    """--render-every writes live renders during the run (the headless
+    equivalent of the reference's SDL window, Application.cpp:120-155)."""
+    from voxelhashing_demo_tpu import cli
+
+    out = str(tmp_path / "live")
+    cli.main(["--small", "run", "--synthetic", "6", "--out", out,
+              "--render-every", "2"])
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["live_frames"] == 3
+    for i in (1, 3, 5):
+        assert os.path.exists(os.path.join(out, f"live_{i:05d}.png"))

@@ -157,3 +157,45 @@ def test_sharded_keyframe_checkpoint_roundtrip(tmp_path):
         for a, b in zip(t_full, t_back)
     )
     assert err < 1e-5, f"sharded keyframe resume diverged: {err}"
+
+
+def test_sharded_keyframe_batched_sync(tmp_path):
+    """The keyframe layer's batched host sync (sync_every > 1) composes
+    with the sharded driver: same keyframe decisions as per-frame sync."""
+    import dataclasses
+
+    from voxelhashing_demo_tpu.models import keyframe_slam
+
+    mesh = sharded.make_mesh(8)
+    results = {}
+    for b in (1, 4):
+        cfg = dataclasses.replace(
+            CFG,
+            keyframes=dataclasses.replace(
+                CFG.keyframes,
+                min_rotation_deg=2.0, min_translation=0.03,
+                icp_downsample=2, min_loop_inliers=150,
+                max_loop_error=5e-4, min_loop_separation=2,
+                loop_radius=0.0,    # BA-free: decisions must match exactly
+                sync_every=b,
+            ),
+        )
+        depths, gt = synthetic.make_sequence(cfg.camera, 8,
+                                             trans_amp=0.10,
+                                             rot_amp_deg=5.0)
+        slam = keyframe_slam.KeyframeSLAM(cfg, mesh=mesh)
+        for d in depths:
+            slam.process(d)
+        traj = slam.trajectory()
+        results[b] = (len(slam.keyframes),
+                      [r.frame_index for r in slam.keyframes],
+                      slam._n_edges, traj)
+
+    k1, f1, e1, t1 = results[1]
+    k4, f4, e4, t4 = results[4]
+    assert (k1, f1, e1) == (k4, f4, e4)
+    err = max(
+        float(np.linalg.norm(np.asarray(a)[:3, 3] - np.asarray(b_)[:3, 3]))
+        for a, b_ in zip(t1, t4)
+    )
+    assert err < 1e-5, err

@@ -273,12 +273,25 @@ def cmd_run(args) -> None:
 
     infos = []
     sat_frames = set()
+    live_frames = []
     t0 = time.perf_counter()
     for i, d in enumerate(depths):
         info = slam.process(jnp.asarray(np.asarray(d, dtype=np.uint16)))
         infos.append(info)
         if getattr(slam, "saturated", False):
             sat_frames.add(i)
+        if (
+            args.render_every
+            and (i + 1) % args.render_every == 0
+            and getattr(slam, "render", None) is not None
+            and mesh is None
+        ):
+            name = f"live_{resumed_frames + i:05d}.png"
+            viz.write_png_rgb(
+                os.path.join(args.out, name),
+                viz.shade_rgb(slam.render()),
+            )
+            live_frames.append(name)
         if (
             args.checkpoint_every
             and args.checkpoint
@@ -379,6 +392,8 @@ def cmd_run(args) -> None:
                             or args.backend == "keyframe"):
         _save(args.checkpoint)
         result["checkpoint"] = args.checkpoint
+    if live_frames:
+        result["live_frames"] = len(live_frames)
     if args.render_last and inner is not None:
         out = inner.render()
         viz.write_png_rgb(os.path.join(args.out, "final.png"),
@@ -549,6 +564,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="restore a checkpoint and continue the sequence "
                         "from the frame after its last pose")
     r.add_argument("--render-last", action="store_true")
+    r.add_argument("--render-every", type=int, default=0, metavar="N",
+                   help="write a live view (live_FFFFF.png shaded render "
+                        "of the current map) every N frames — the "
+                        "headless equivalent of the reference's SDL "
+                        "window (Application.cpp:120-155)")
     r.set_defaults(fn=cmd_run)
 
     v = sub.add_parser("render", help="offline renders of a checkpoint")

@@ -820,6 +820,15 @@ class KeyframeSLAM:
         self._frame_refs.append((kf.index, rel.astype(np.float32)))
         return correction
 
+    def render(self, pose=None):
+        """Render the current map (single-chip driver's renderer)."""
+        if self.mesh is not None:
+            raise NotImplementedError(
+                "rendering the sharded map: checkpoint + `cli render` "
+                "(load_slam converts to the single-chip view)"
+            )
+        return self._inner.render(pose)
+
     def trajectory(self) -> List[np.ndarray]:
         """Full trajectory with all BA corrections applied retroactively."""
         self.flush()
