@@ -10,16 +10,29 @@ flagship HashSLAM pipeline with the missing backend:
   on the stored (downsampled) keyframe depth pairs.
 - **Loop-closure edges**: older keyframes within ``loop_radius`` are
   re-registered by ICP (initialized from the current estimates) and, if the
-  registration passes inlier/error gates, constrain the graph.
-- **Pose graph optimization** (ops/pose_graph.py) whenever a loop edge is
-  accepted; the correction is propagated to the live tracking pose, and
-  every non-keyframe pose is stored *relative to its keyframe* so the whole
-  trajectory is corrected retroactively.
+  registration passes the inlier/error/OBSERVABILITY gates
+  (ops/icp.observability — sliding-degenerate solves have a near-null
+  normal-matrix direction), constrain the graph.
+- **Pose graph optimization** (ops/pose_graph.py, IRLS robust kernels)
+  whenever a loop edge is accepted; the correction is propagated to the
+  live tracking pose, every non-keyframe pose is stored *relative to its
+  keyframe* so the whole trajectory is corrected retroactively, and the
+  map follows: full rebuild on the first significant correction, exact
+  de-integrate/re-integrate of only MOVED keyframes after
+  (hash_ops.defuse_frame).
+- **Tracking-lost recovery**: after a streak of motion-gate failures the
+  live frame re-registers against stored keyframes and the pose + model
+  reset (the role of the reference's dead rigidAlignment fallback).
 
-Host/device split: per-frame tracking+fusion and the BA solve are each one
-jitted computation; the host only orchestrates keyframe bookkeeping
-(variable-length lists are host state — their shapes change, so they do not
-belong inside jit).
+Host/device split, designed for REMOTE chips where every blocking fetch
+costs a tunnel RTT that stalls dispatch pipelining: the jitted pipeline
+step dispatches immediately per frame, while the host-side bookkeeping
+(keyframe decisions, refs, lost-streak) drains every ``sync_every``
+frames from ONE batched pose fetch, against host mirrors of the graph.
+All candidate registrations (odometry + loops, relocalization) run as
+one vmapped ICP dispatch + one fetch; every multi-op host-side chain is
+jitted (an eager chain pays ~1.6 ms/op in dispatches).  Measured journey
+on the 400-frame closed-pan benchmark: 3.7 -> 32.7 fps (BENCH_NOTES r3).
 """
 
 from __future__ import annotations
@@ -32,7 +45,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import PipelineConfig
-from ..geometry import se3
 from ..ops import hash_ops
 from ..ops import icp as icp_ops
 from ..ops import pose_graph
@@ -318,13 +330,6 @@ class KeyframeSLAM:
             return frame
         d = pre_ops.downsample_depth(frame.depth, f)
         return pre_ops.preprocess_metric(d, self._lcam)
-
-    def _pair_icp(self, src: pre_ops.Frame, tgt: pre_ops.Frame, init_T):
-        """ICP between two stored keyframe frames: returns T mapping src
-        camera coords to tgt camera coords (= T_tgt^-1 @ T_src)."""
-        return icp_ops.icp_align(
-            src, tgt, self._lcam, self.config.icp, init_T=init_T
-        )
 
     def _should_insert(self, pose_np: np.ndarray) -> bool:
         if not self.keyframes:
@@ -671,9 +676,10 @@ class KeyframeSLAM:
 
     # -- tracking-lost recovery ----------------------------------------------
 
-    def _relocalize(self, depth_raw, info) -> hash_slam.StepInfo:
+    def _relocalize(self, depth_raw):
         """Re-register the live frame against stored keyframes and reset
-        the live pose to the best match passing the loop acceptance gates.
+        the live pose to the best match passing the loop acceptance gates;
+        returns the recovered pose (numpy) or None.
 
         The tracking capability gap the reference's legacy
         correspondence-SVD ``rigidAlignment`` fallback was meant for
@@ -806,7 +812,7 @@ class KeyframeSLAM:
                 and (self._lost_streak - r.reloc_after) % r.reloc_interval
                 == 0
             ):
-                new_pose = self._relocalize(depth_raw, None)
+                new_pose = self._relocalize(depth_raw)
                 if new_pose is not None:
                     pose_np = new_pose
         if self._should_insert(pose_np):
