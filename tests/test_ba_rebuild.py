@@ -102,10 +102,11 @@ def test_rebuild_improves_post_ba_tracking():
     frames benefit; without it they fight the stale model.  Measured at
     this scale: with the r2 loop gates the gap was 6.1 vs 11.0 mm post-BA
     ATE (pre-gates 155 vs 778 mm); with the r3 robust (Geman-McClure) BA
-    the stale-map run recovers its tail too, and rebuild's remaining
-    end-to-end value is the whole-trajectory ATE (6.1 vs 12.3 mm — the
-    retroactive correction quality), while the post-BA tail is a wash.
-    The mechanism-level necessity of rebuild is pinned separately by
+    the stale-map run recovers its tail too (6.1 vs 12.3 mm whole-
+    trajectory); with the r3 contribution ledger + GNC both runs sit near
+    the scenario's ~10 mm floor (10.3 vs 11.9).  The end-to-end assertion
+    is therefore monotone (rebuild never worse, both within the envelope);
+    the mechanism-level necessity of rebuild is pinned separately by
     test_rebuild_map_follows_correction."""
     n = 40
     depths, gt = synthetic.make_room_sweep(CAM, n, sweep_deg=140.0)
@@ -132,9 +133,8 @@ def test_rebuild_improves_post_ba_tracking():
     ate_p, post_p, _, ba_p = results[False]
     assert ba_r > 0 and ba_p > 0, "loop closures must fire in this scenario"
     assert rebuilds > 0, "corrections above threshold must rebuild"
-    assert ate_r < 0.25, f"rebuild ATE {ate_r}"
-    assert post_r < 0.25, f"rebuild post-BA ATE {post_r}"
-    assert ate_r < 0.6 * ate_p, (ate_r, ate_p)
-    # post-BA tail: rebuild must not be worse than the stale-map run
-    # (since the r3 robust BA, both recover to the ~5 mm noise floor)
+    assert ate_r < 0.05, f"rebuild ATE {ate_r}"
+    assert post_r < 0.05, f"rebuild post-BA ATE {post_r}"
+    # rebuild must never be worse than fighting a stale map
+    assert ate_r < 1.15 * ate_p + 0.002, (ate_r, ate_p)
     assert post_r < 1.3 * post_p + 0.002, (post_r, post_p)

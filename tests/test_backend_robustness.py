@@ -335,3 +335,49 @@ def test_sync_every_batching_equivalence():
     )
     assert err < 8e-3, err
     assert abs(a1 - a4) < 3e-3
+
+
+def _big_drift_graph(noise_scale, seed=3):
+    """Noisy odometry MEASUREMENTS + integrated init: the clean loop edge
+    carries ALL the accumulated drift (the realistic large-drift shape)."""
+    K = 8
+    gt = _ring_poses(K)
+    rng = np.random.RandomState(seed)
+    g = pose_graph.create(K, K + 4)
+    est, meas = [gt[0]], []
+    for i in range(K - 1):
+        z = _rel(gt[i], gt[i + 1])
+        n_ = np.concatenate(
+            [rng.normal(0, 0.02 * noise_scale, 3),
+             rng.normal(0, 0.01 * noise_scale, 3)]
+        ).astype(np.float32)
+        zn = z @ np.asarray(se3.exp(jnp.asarray(n_)))
+        meas.append(zn)
+        est.append(est[-1] @ zn)
+    for T in est:
+        g = pose_graph.add_pose(g, jnp.asarray(T))
+    for i in range(K - 1):
+        g = pose_graph.add_edge(g, i, i + 1, jnp.asarray(meas[i]))
+    g = pose_graph.add_edge(g, K - 1, 0, jnp.asarray(_rel(gt[K - 1], gt[0])))
+    return g, gt
+
+
+def test_gnc_recovers_large_honest_drift():
+    """The redescending GM kernel sheds an HONEST closure whose residual
+    is far above delta; graduated non-convexity (wide kernel annealed to
+    delta) keeps its pull.  At loop residual ~0.66 (odometry noise x15)
+    plain GM leaves the drift essentially uncorrected while GNC recovers
+    a further ~25%; the false-edge rejection is unaffected (pinned by
+    test_robust_kernel_rejects_false_loop_edge, which runs with the same
+    default GNC)."""
+    ates = {}
+    for gnc in (1.0, 8.0):
+        g, gt = _big_drift_graph(15.0)
+        cfg = KeyframeConfig(ba_iters=8, ba_gnc_init_scale=gnc)
+        out, _ = pose_graph.optimize(g, cfg)
+        a0 = metrics.ate_rmse([np.asarray(p) for p in g.poses[:8]], gt,
+                              align=False)
+        ates[gnc] = metrics.ate_rmse(
+            [np.asarray(p) for p in out.poses[:8]], gt, align=False
+        )
+    assert ates[8.0] < 0.85 * ates[1.0], ates

@@ -47,6 +47,11 @@ def _cfg() -> PipelineConfig:
             icp_downsample=2, loop_radius=0.6, min_loop_separation=6,
             min_loop_inliers=800, max_loop_error=1e-4, ba_iters=8,
             rebuild_map=True, rebuild_min_trans=0.03,
+            # full rebuilds only: the incremental contribution ledger is
+            # deliberately NOT persisted across restarts (its ring holds
+            # device arrays), so exact resume-equivalence is the promise
+            # of the full-rebuild mode
+            rebuild_incremental=False,
         ),
     )
 

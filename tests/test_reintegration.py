@@ -183,10 +183,78 @@ def test_incremental_matches_full_rebuild():
     assert all(m == "full" for m in modes_full)
     assert modes_inc and modes_inc[0] == "full"
     assert "incremental" in modes_inc, modes_inc
-    # incremental must touch fewer keyframes than a full replay would
+    # incremental must move fewer ledger entries (keyframes + ring
+    # frames) than full replays of everything would
     full_replays = sum(1 for m in modes_inc if m == "incremental")
-    assert n_reint < full_replays * 32
+    cfg = _cfg(True)
+    assert n_reint < full_replays * (
+        cfg.keyframes.max_keyframes + cfg.keyframes.rebuild_window
+    )
     assert ate_inc < 0.25, ate_inc
     assert ate_inc < max(1.5 * ate_full, ate_full + 0.02), (
         ate_inc, ate_full,
     )
+
+
+def test_incremental_ledger_matches_from_scratch_map():
+    """The decisive consistency check for incremental reintegration: after
+    a run with live fusion + multiple BA corrections, the incrementally
+    maintained TSDF must render like a map built FROM SCRATCH from the
+    same contributions (ledgered keyframes + ring frames) at their final
+    corrected poses.  Stale contributions left at drifted poses, phantom
+    de-integrations (subtracting samples never added), or dropped ring
+    frames all show up as render divergence here."""
+    from voxelhashing_demo_tpu.models import keyframe_slam
+    from voxelhashing_demo_tpu.ops import hash_ops
+
+    n = 48
+    depths, gt = synthetic.make_room_sweep(CAM, n, sweep_deg=150.0)
+    D1 = jnp.asarray(se3.exp(jnp.asarray(
+        np.array([0.04, -0.03, 0.025, 0.0, np.deg2rad(2.0), 0.0],
+                 np.float32))))
+    D2 = jnp.asarray(se3.exp(jnp.asarray(
+        np.array([-0.03, 0.025, -0.02, 0.0, np.deg2rad(-1.5), 0.0],
+                 np.float32))))
+    cfg = _cfg(True)
+    slam = keyframe_slam.KeyframeSLAM(cfg)
+    for i, d in enumerate(depths):
+        if i == 18:
+            slam.state = slam.state._replace(pose=D1 @ slam.state.pose)
+        if i == 34:
+            slam.state = slam.state._replace(pose=D2 @ slam.state.pose)
+        slam.process(d)
+    slam.flush()
+    modes = [e["rebuild_mode"] for e in slam.ba_events if e["map_rebuilt"]]
+    assert "incremental" in modes, modes
+    assert not slam._ring_overflow
+    assert not any(e.get("reintegration_saturated")
+                   for e in slam.ba_events)
+
+    # reference: same contributions, fused from scratch at their FINAL
+    # corrected poses
+    fuse = keyframe_slam.make_fuse_only(cfg)
+    poses = slam._poses_np
+    ref = hash_ops.create(cfg.hash)
+    for rec in slam.keyframes:
+        if rec.map_pose is None:
+            continue   # post-rebuild keyframe: contribution is its ring entry
+        ref = fuse(ref, rec.depth_dev, jnp.asarray(poses[rec.index]),
+                   jnp.int32(rec.frame_index))
+    for ent in slam._ring:
+        target = (poses[ent.kf] @ ent.rel).astype(np.float32)
+        ref = fuse(ref, ent.depth, jnp.asarray(target),
+                   jnp.int32(ent.frame_index))
+
+    render = keyframe_slam.make_render_model(cfg)
+    a = render(slam.state.hmap, slam.state.pose)
+    b = render(ref, slam.state.pose)
+    da, db = np.asarray(a.depth), np.asarray(b.depth)
+    both = (da > 0) & (db > 0)
+    assert both.mean() > 0.5
+    med = np.median(np.abs(da - db)[both])
+    # ledger entries may sit up to rebuild_move_min_trans from their
+    # corrected pose (unmoved-below-threshold slack) — sub-voxel here
+    assert med < 1.0 * cfg.fusion.voxel_size, med
+    # coverage must agree too (no dropped/phantom contributions)
+    assert (da > 0).mean() > 0.9 * (db > 0).mean()
+    assert (db > 0).mean() > 0.9 * (da > 0).mean()

@@ -57,8 +57,10 @@ def _default_config(args) -> "PipelineConfig":
         cam = _dc.replace(cam, fx=vals[0], fy=vals[1], cx=vals[2],
                           cy=vals[3])
     if args.small:
-        cam = CameraConfig(width=160, height=120, fx=129.3, fy=129.1,
-                           cx=79.65, cy=59.8)
+        # quarter-resolution of whatever calibration was selected above —
+        # a full CameraConfig replacement here would silently discard an
+        # explicit --preset/--intrinsics
+        cam = cam.scaled(4)
     stream = StreamConfig(enabled=bool(getattr(args, "stream", False)))
     kf = KeyframeConfig()
     if getattr(args, "kf_rotation", None) is not None:
@@ -277,7 +279,16 @@ def cmd_run(args) -> None:
     t0 = time.perf_counter()
     for i, d in enumerate(depths):
         info = slam.process(jnp.asarray(np.asarray(d, dtype=np.uint16)))
-        infos.append(info)
+        # pack the per-frame scalars ON DEVICE (one async dispatch, no
+        # fetch): materializing them field-by-field after the run would
+        # cost ~6 blocking fetches x one tunnel RTT per frame
+        infos.append(jnp.stack([
+            info.tracked.astype(jnp.float32), info.icp_error,
+            info.icp_iters.astype(jnp.float32),
+            info.blocks_allocated.astype(jnp.float32),
+            info.blocks_active.astype(jnp.float32),
+            info.blocks_freed.astype(jnp.float32),
+        ]))
         if getattr(slam, "saturated", False):
             sat_frames.add(i)
         if (
@@ -304,19 +315,20 @@ def cmd_run(args) -> None:
         slam.state.pose if hasattr(slam, "state") else None
     )
     dt = time.perf_counter() - t0
-    # per-frame records are materialized AFTER the clock stops: every
-    # float()/bool() is a device fetch, and a fetch inside the loop
-    # blocks dispatch pipelining (a full tunnel RTT per frame on TPU)
+    # per-frame records are materialized AFTER the clock stops, from ONE
+    # stacked fetch (field-by-field float()/bool() would cost a tunnel
+    # RTT per scalar)
+    stats = np.asarray(jnp.stack(infos)) if infos else np.zeros((0, 6))
     records = []
-    for i, info in enumerate(infos):
+    for i in range(stats.shape[0]):
         rec = {
             "frame": resumed_frames + i,
-            "tracked": bool(info.tracked),
-            "icp_error": float(info.icp_error),
-            "icp_iters": int(info.icp_iters),
-            "blocks_allocated": int(info.blocks_allocated),
-            "blocks_active": int(info.blocks_active),
-            "blocks_freed": int(info.blocks_freed),
+            "tracked": bool(stats[i, 0] > 0.5),
+            "icp_error": float(stats[i, 1]),
+            "icp_iters": int(stats[i, 2]),
+            "blocks_allocated": int(stats[i, 3]),
+            "blocks_active": int(stats[i, 4]),
+            "blocks_freed": int(stats[i, 5]),
         }
         if i in sat_frames:
             # keyframe backend at graph capacity with growth disabled:

@@ -275,6 +275,13 @@ class KeyframeConfig:
     # are mm-cm scale; false closures are decimeter-plus.
     ba_robust_delta: float = 0.1
     ba_robust_kernel: str = "gm"
+    # graduated non-convexity: the IRLS kernel width starts at
+    # init_scale * delta and anneals geometrically to delta over
+    # ba_iters.  Without it the redescending GM kernel sheds an HONEST
+    # closure carrying large accumulated drift (residual >> delta)
+    # exactly like a false edge; with it the wide early iterations pull
+    # the graph into the closure's basin first.  <= 1 disables.
+    ba_gnc_init_scale: float = 8.0
     icp_downsample: int = 2          # keyframe-pair ICP runs at this factor
     loop_radius: float = 0.8         # meters: candidate loop-closure search
     min_loop_separation: int = 3     # keyframes between loop-closure pairs
@@ -328,6 +335,13 @@ class KeyframeConfig:
     rebuild_incremental: bool = True
     rebuild_move_min_trans: float = 0.005   # keyframe "moved" thresholds
     rebuild_move_min_rot_deg: float = 0.25
+    # contribution-ledger window: every frame fused since the last FULL
+    # rebuild is remembered (device depth + fused pose) so incremental
+    # corrections can move its TSDF contribution exactly; if more than
+    # this many frames accumulate between corrections the ledger is
+    # dropped and the next correction rebuilds fully (bounds HBM at
+    # ~window x 0.6 MB)
+    rebuild_window: int = 64
     # tracking-lost recovery: after ``reloc_after`` consecutive untracked
     # frames, re-register the live frame against stored keyframes (ICP
     # from identity + the loop acceptance gates) and reset the live pose

@@ -71,25 +71,32 @@ def make_fuse_only(config: PipelineConfig):
 
 def make_reintegrate(config: PipelineConfig):
     """Jitted de-integrate-at-old-pose + re-integrate-at-new-pose of one
-    stored keyframe depth (state donated).  Both passes are gated to rows
-    that existed when the keyframe was originally fused (born <=
+    stored frame depth (state donated).  Both passes are gated to rows
+    that existed when the frame was originally fused (born <=
     ``frame_born``, see ops/hash_ops.HashMap.born) and allocate nothing,
-    so repeated incremental corrections stay self-consistent."""
+    so repeated incremental corrections stay self-consistent.  Returns
+    (map, max visible-set count): a count at max_active means the frustum
+    compaction truncated and the move was not exact — the caller surfaces
+    it (never silent)."""
 
     def reint(hmap, depth_raw, T_old, T_new, frame_born):
         frame = pre_ops.preprocess(depth_raw, config.camera,
                                    config.frontend)
-        hmap = hash_ops.defuse_frame(
-            hmap, frame, T_old, config.camera, config.hash, config.fusion,
-            frame_born,
+        a_old = hash_ops.compact_visible(
+            hmap, config.hash, T_old, config.camera, config.fusion
         )
-        active = hash_ops.compact_visible(
+        hmap = hash_ops.integrate(
+            hmap, a_old, config.hash, frame.depth, T_old, config.camera,
+            config.fusion, sign=-1, max_born=jnp.int32(frame_born),
+        )
+        a_new = hash_ops.compact_visible(
             hmap, config.hash, T_new, config.camera, config.fusion
         )
-        return hash_ops.integrate(
-            hmap, active, config.hash, frame.depth, T_new, config.camera,
+        hmap = hash_ops.integrate(
+            hmap, a_new, config.hash, frame.depth, T_new, config.camera,
             config.fusion, max_born=jnp.int32(frame_born),
         )
+        return hmap, jnp.maximum(a_old.count, a_new.count)
 
     return jax.jit(reint, donate_argnums=0)
 
@@ -138,11 +145,30 @@ class _KeyframeRecord:
     # repeatedly, and a host->device upload per use costs tunnel
     # bandwidth + latency every BA correction
     depth_dev: jnp.ndarray = None
+    # ledger: the pose at which this keyframe's contribution currently
+    # sits in the TSDF (set by a full rebuild, updated by incremental
+    # reintegration; None = not individually tracked in the map)
+    map_pose: np.ndarray = None
 
     def depth_np(self) -> np.ndarray:
         if self.depth_raw is None:
             self.depth_raw = np.asarray(self.depth_dev).astype(np.uint16)
         return self.depth_raw
+
+
+@dataclass
+class _RingEntry:
+    """One live-fused frame in the post-rebuild contribution ledger: the
+    TSDF holds its samples at ``map_pose`` (the pose the jitted step
+    actually fused at — which may differ from the corrected trajectory
+    pose when a BA correction or relocalization landed after dispatch);
+    its corrected pose is always ``graph_pose[kf] @ rel``."""
+
+    frame_index: int
+    kf: int                    # reference keyframe id
+    rel: np.ndarray            # pose relative to that keyframe
+    depth: jnp.ndarray         # device uint16 depth
+    map_pose: np.ndarray       # where its contribution currently sits
 
 
 class KeyframeSLAM:
@@ -194,9 +220,18 @@ class KeyframeSLAM:
         self._fuse_only = None      # built lazily on first rebuild
         self._render_model = None
         self._reintegrate = None    # built lazily (incremental rebuild)
-        # True once a full rebuild made the map keyframe-only — the
-        # precondition for exact incremental reintegration
-        self._map_keyframe_only = False
+        # contribution ledger: valid once a full rebuild has accounted
+        # for every TSDF contribution (keyframe map_poses) and the ring
+        # has tracked every live-fused frame since.  The precondition for
+        # exact incremental reintegration; overflow of the bounded ring
+        # invalidates it until the next full rebuild.
+        self._map_ledgered = False
+        self._ring: List[_RingEntry] = []
+        self._ring_overflow = False
+        # incremented by every full rebuild: a frame fused into an older
+        # epoch's map has no contribution in the current one (the rebuild
+        # dropped it), so it must not enter the ring
+        self._map_epoch = 0
         # pipelining state (kcfg.sync_every): frames whose host-side
         # bookkeeping hasn't run yet, and host mirrors of the device
         # graph so per-frame decisions never block on a tunnel fetch
@@ -552,39 +587,59 @@ class KeyframeSLAM:
             streaming = getattr(self._driver, "store", None) is not None
             if (
                 self.kcfg.rebuild_incremental
-                and self._map_keyframe_only
+                and self._map_ledgered
+                and not self._ring_overflow
                 and not streaming
                 and self.mesh is None
             ):
-                n_reint = self._incremental_reintegrate(old_poses)
+                n_reint, n_sat = self._incremental_reintegrate()
                 mode = "incremental"
             else:
                 self._rebuild_map()
-                self._map_keyframe_only = True
                 mode = "full"
+                n_sat = 0
             rebuilt = True
+        else:
+            n_sat = 0
 
-        self.ba_events.append(
-            {
-                "frame": self._frame_idx,
-                "keyframes": last_idx + 1,
-                "edges": self._n_edges,
-                "chi2_initial": float(info.chi2_initial),
-                "chi2_final": float(info.chi2_final),
-                "correction_trans_m": trans,
-                "correction_rot_deg": rot,
-                "map_rebuilt": rebuilt,
-                "rebuild_mode": mode,
-                "keyframes_reintegrated": n_reint,
-            }
-        )
+        event = {
+            "frame": self._frame_idx,
+            "keyframes": last_idx + 1,
+            "edges": self._n_edges,
+            "chi2_initial": float(info.chi2_initial),
+            "chi2_final": float(info.chi2_final),
+            "correction_trans_m": trans,
+            "correction_rot_deg": rot,
+            "map_rebuilt": rebuilt,
+            "rebuild_mode": mode,
+            "keyframes_reintegrated": n_reint,
+        }
+        if n_sat:
+            # frustum visible-set saturation during de/re-integration:
+            # compact_visible capped at max_active, so some rows the
+            # frame touched may not have been moved — not exact, and
+            # never silent
+            event["reintegration_saturated"] = n_sat
+        self.ba_events.append(event)
         return correction
 
-    def _incremental_reintegrate(self, old_poses: np.ndarray) -> int:
-        """De-integrate + re-integrate only the keyframes whose BA-corrected
-        pose moved beyond the rebuild_move thresholds; unmoved keyframes'
-        contributions stay in place untouched (exact — the weighted average
-        is invertible).  Returns the number reintegrated."""
+    def _moved(self, a: np.ndarray, b: np.ndarray) -> bool:
+        delta = np.linalg.inv(a) @ b
+        return (
+            float(np.linalg.norm(delta[:3, 3]))
+            > self.kcfg.rebuild_move_min_trans
+            or _rot_deg_np(delta) > self.kcfg.rebuild_move_min_rot_deg
+        )
+
+    def _incremental_reintegrate(self):
+        """Move only the TSDF contributions whose corrected pose differs
+        from where they currently sit, using the contribution ledger:
+        keyframe ``map_pose`` entries (placed by the last full rebuild)
+        plus the ring of every frame live-fused since.  De-integration at
+        the LEDGER pose (what was actually fused — which differs from the
+        graph pose for frames fused before an in-batch correction or
+        relocalization landed) keeps the inverse exact.  Returns
+        (n_reintegrated, n_visible_set_saturations)."""
         new_poses = self._poses_np
         self._ensure_jits()
         if self._reintegrate is None:
@@ -592,27 +647,46 @@ class KeyframeSLAM:
         d = self._driver
         hmap = d.state.hmap
         n = 0
+        n_sat = 0
+        A = self.config.hash.max_active
+        sat_counts = []
+
+        def move(depth_dev, frame_idx, from_pose, to_pose):
+            nonlocal hmap
+            hmap, cnt = self._reintegrate(
+                hmap, depth_dev,
+                jnp.asarray(from_pose, dtype=jnp.float32),
+                jnp.asarray(to_pose, dtype=jnp.float32),
+                jnp.int32(frame_idx),
+            )
+            sat_counts.append(cnt)
+
         for rec in self.keyframes:
-            delta = np.linalg.inv(old_poses[rec.index]) @ new_poses[rec.index]
-            dt = float(np.linalg.norm(delta[:3, 3]))
-            dr = _rot_deg_np(delta)
-            if (
-                dt <= self.kcfg.rebuild_move_min_trans
-                and dr <= self.kcfg.rebuild_move_min_rot_deg
-            ):
+            if rec.map_pose is None:
+                continue   # post-rebuild keyframe: its fusion is a ring entry
+            target = new_poses[rec.index]
+            if not self._moved(rec.map_pose, target):
                 continue
             dep = (rec.depth_dev if rec.depth_dev is not None
                    else jnp.asarray(rec.depth_raw))
-            hmap = self._reintegrate(
-                hmap, dep,
-                jnp.asarray(old_poses[rec.index]),
-                jnp.asarray(new_poses[rec.index]),
-                jnp.int32(rec.frame_index),
-            )
+            move(dep, rec.frame_index, rec.map_pose, target)
+            rec.map_pose = target.copy()
             n += 1
+        for ent in self._ring:
+            target = new_poses[ent.kf] @ ent.rel
+            if not self._moved(ent.map_pose, target):
+                continue
+            move(ent.depth, ent.frame_index, ent.map_pose, target)
+            ent.map_pose = target.astype(np.float32)
+            n += 1
+        if sat_counts:
+            # ONE batched fetch of the visible-set counts (max_active hit
+            # means the de/re-integration frustum was truncated)
+            counts = np.asarray(jnp.stack(sat_counts))
+            n_sat = int((counts >= A).sum())
         model = self._render_model(hmap, d.state.pose)
         d.state = d.state._replace(hmap=hmap, model=model)
-        return n
+        return n, n_sat
 
     def _ensure_jits(self) -> None:
         """Lazily build the fuse-only / render-model jits (rebuild +
@@ -638,7 +712,10 @@ class KeyframeSLAM:
         corrected live pose.  BundleFusion-style reintegration bounded to
         keyframes: non-keyframe observations are dropped, which trades a
         thinner weight field for globally consistent geometry."""
+        # one fetch, and resync the host mirror (tests drive this method
+        # directly after editing the device graph)
         poses = np.asarray(self.graph.poses)
+        self._poses_np[: self._n_poses] = poses[: self._n_poses]
         self._ensure_jits()
         if self.mesh is None:
             hmap = hash_ops.create(self.config.hash)
@@ -665,6 +742,7 @@ class KeyframeSLAM:
                 jnp.asarray(poses[rec.index]),
                 jnp.int32(rec.frame_index),
             )
+            rec.map_pose = poses[rec.index].astype(np.float32).copy()
             if streaming:
                 hmap = self._driver._evict_into(
                     hmap, jnp.int32(rec.frame_index), new_store
@@ -673,6 +751,12 @@ class KeyframeSLAM:
         self.state = self.state._replace(hmap=hmap, model=model)
         if streaming:
             self._driver.store = new_store
+        # the ledger now accounts for every contribution in the map;
+        # fusions dispatched into the pre-rebuild map are gone with it
+        self._ring = []
+        self._ring_overflow = False
+        self._map_ledgered = True
+        self._map_epoch += 1
 
     # -- tracking-lost recovery ----------------------------------------------
 
@@ -748,7 +832,7 @@ class KeyframeSLAM:
         info = self._run_step(d)
         self.infos.append(info)
         self._frame_idx += 1
-        self._pending.append((d, info))
+        self._pending.append((d, info, self._map_epoch))
         if len(self._pending) >= max(self.kcfg.sync_every, 1):
             self._drain()
         return info
@@ -775,30 +859,34 @@ class KeyframeSLAM:
 
             self._pack_drain = jax.jit(_pack)
         arr = np.asarray(self._pack_drain(
-            tuple(i.pose for _, i in pend),
-            tuple(i.tracked for _, i in pend),
+            tuple(i.pose for _, i, _e in pend),
+            tuple(i.tracked for _, i, _e in pend),
         ))
         frame0 = self._frame_idx - len(pend)
         saved = self._frame_idx
         corr = None   # correction accumulated within this batch
         try:
-            for b, (d, info) in enumerate(pend):
-                pose_np = arr[b, :16].reshape(4, 4).astype(np.float32)
-                if corr is not None:
-                    pose_np = corr @ pose_np
+            for b, (d, info, epoch) in enumerate(pend):
+                raw_pose = arr[b, :16].reshape(4, 4).astype(np.float32)
+                pose_np = raw_pose if corr is None else (
+                    corr @ raw_pose
+                ).astype(np.float32)
                 tracked = arr[b, 16] > 0.5
                 # event logs inside the per-frame logic stamp the frame's
                 # own index, not the batch-end counter
                 self._frame_idx = frame0 + b
-                c = self._per_frame(d, pose_np, tracked)
+                c = self._per_frame(d, pose_np, raw_pose, tracked, epoch)
                 if c is not None:
                     corr = c if corr is None else c @ corr
         finally:
             self._frame_idx = saved
 
-    def _per_frame(self, depth_raw, pose_np, tracked):
-        """Deferred per-frame bookkeeping.  Returns a BA correction to
-        retro-apply to later in-flight frames, or None."""
+    def _per_frame(self, depth_raw, pose_np, raw_pose, tracked, epoch=None):
+        """Deferred per-frame bookkeeping.  ``raw_pose`` is the pose the
+        jitted step actually FUSED at (before any in-batch correction or
+        relocalization) — the contribution ledger needs it to de-integrate
+        exactly.  Returns a BA correction to retro-apply to later
+        in-flight frames, or None."""
         correction = None
         if tracked:
             self._lost_streak = 0
@@ -823,7 +911,22 @@ class KeyframeSLAM:
                 pose_np = (correction @ pose_np).astype(np.float32)
         kf = self.keyframes[-1]
         rel = np.linalg.inv(self._poses_np[kf.index]) @ pose_np
-        self._frame_refs.append((kf.index, rel.astype(np.float32)))
+        rel = rel.astype(np.float32)
+        self._frame_refs.append((kf.index, rel))
+        # contribution ledger: the step fused this frame at raw_pose;
+        # remember it (bounded window) so incremental corrections can move
+        # the contribution exactly.  Overflow invalidates the ledger — the
+        # next significant correction rebuilds fully.  A frame fused into
+        # an older map epoch has no contribution to track (the rebuild
+        # dropped it).
+        if epoch is None or epoch == self._map_epoch:
+            if len(self._ring) < self.kcfg.rebuild_window:
+                self._ring.append(_RingEntry(
+                    frame_index=self._frame_idx, kf=kf.index, rel=rel,
+                    depth=jnp.asarray(depth_raw), map_pose=raw_pose,
+                ))
+            else:
+                self._ring_overflow = True
         return correction
 
     def render(self, pose=None):

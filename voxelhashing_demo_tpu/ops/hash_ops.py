@@ -883,8 +883,12 @@ def defuse_frame(
     """Remove a previously fused frame's contribution: regenerate its
     samples at the SAME pose/depth and apply the inverse Curless-Levoy
     update to the rows that existed when it was fused (born <=
-    ``frame_born``).  Exact below the weight cap — the enabling primitive
-    of BundleFusion-style incremental reintegration after BA corrections
+    ``frame_born``).  Exact below the weight cap PROVIDED the visible set
+    at this pose fits ``max_active`` — a saturated compaction truncates
+    which rows are processed (callers must check ``ActiveSet.count`` and
+    surface it; models/keyframe_slam reports ``reintegration_saturated``).
+    The enabling primitive of BundleFusion-style incremental
+    reintegration after BA corrections
     (models/keyframe_slam._incremental_reintegrate).  No allocation, no
     visibility stamping: this is pure subtraction."""
     active = compact_visible(hmap, cfg, T_wc, cam, fusion)

@@ -185,7 +185,7 @@ def _chi2(graph: PoseGraph) -> jnp.ndarray:
 
 def build_normal_equations(
     graph: PoseGraph,
-    robust_delta: float = 0.0,
+    robust_delta=None,
     robust_kernel: str = "gm",
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """(H, b, chi2) of the weighted GN system about the current poses.
@@ -195,12 +195,15 @@ def build_normal_equations(
     reduction of SURVEY.md §2b's last row; the robust weight depends only
     on an edge's own residual, so per-shard weights compose exactly).
 
-    ``robust_delta`` > 0 applies the IRLS robust reweighting
-    (``robust_edge_weights``) about the current linearization point.
+    ``robust_delta`` (a python float > 0 or a traced scalar; None/0 = off)
+    applies the IRLS robust reweighting (``robust_edge_weights``) about
+    the current linearization point.
     """
     K = graph.poses.shape[0]
+    if isinstance(robust_delta, (int, float)) and robust_delta <= 0:
+        robust_delta = None
     ew = (robust_edge_weights(graph, robust_delta, robust_kernel)
-          if robust_delta > 0 else graph.edges_w)
+          if robust_delta is not None else graph.edges_w)
 
     def residual_of_twists(xis):
         P = jax.vmap(lambda T, xi: T @ se3.exp(xi))(graph.poses, xis)
@@ -234,6 +237,24 @@ def apply_update(
     return graph._replace(poses=poses)
 
 
+def gnc_delta(cfg: KeyframeConfig, i):
+    """Graduated-non-convexity annealing of the robust kernel width for
+    IRLS iteration ``i`` (traced): start at ``ba_gnc_init_scale x delta``
+    (wide kernel — an honest loop closure carrying LARGE accumulated
+    drift keeps most of its pull instead of being shed like an outlier)
+    and anneal geometrically to ``delta`` by the final iteration, where
+    persistent outliers redescend to ~zero weight.  Returns None when the
+    robust kernel is off."""
+    if cfg.ba_robust_delta <= 0:
+        return None
+    if cfg.ba_gnc_init_scale <= 1.0:
+        return cfg.ba_robust_delta
+    frac = i / max(cfg.ba_iters - 1, 1)
+    return cfg.ba_robust_delta * jnp.power(
+        jnp.float32(cfg.ba_gnc_init_scale), 1.0 - frac
+    )
+
+
 @partial(jax.jit, static_argnames=("cfg",))
 def optimize(graph: PoseGraph, cfg: KeyframeConfig):
     """Gauss-Newton pose graph optimization, entirely on-device.
@@ -242,9 +263,9 @@ def optimize(graph: PoseGraph, cfg: KeyframeConfig):
     """
     chi2_0 = _chi2(graph)
 
-    def body(_, g):
+    def body(i, g):
         H, b, _ = build_normal_equations(
-            g, cfg.ba_robust_delta, cfg.ba_robust_kernel
+            g, gnc_delta(cfg, i), cfg.ba_robust_kernel
         )
         return apply_update(g, H, b, cfg)
 

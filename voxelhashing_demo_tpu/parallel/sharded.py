@@ -625,9 +625,10 @@ def optimize_graph_sharded(graph, kcfg, mesh):
 
         chi2_0 = chi2(poses)
 
-        def body(_, p):
+        def body(i, p):
             H, b, _ = pose_graph.build_normal_equations(
-                make(p), kcfg.ba_robust_delta, kcfg.ba_robust_kernel
+                make(p), pose_graph.gnc_delta(kcfg, i),
+                kcfg.ba_robust_kernel
             )
             H = jax.lax.psum(H, AXIS)
             b = jax.lax.psum(b, AXIS)

@@ -86,9 +86,13 @@ def save_slam(
     if graph is not None:
         arrays.update(_flatten("graph", graph))
     if slam.trajectory:
-        arrays["trajectory"] = np.stack(
-            [np.asarray(p) for p in slam.trajectory]
-        )
+        # device poses: stack on device, fetch ONCE (per-pose np.asarray
+        # costs a tunnel RTT each; mid-run checkpoints would stall
+        # seconds).  Host poses: plain numpy stack, no transfers.
+        if isinstance(slam.trajectory[0], np.ndarray):
+            arrays["trajectory"] = np.stack(slam.trajectory)
+        else:
+            arrays["trajectory"] = np.asarray(jnp.stack(slam.trajectory))
     arrays["config_json"] = np.frombuffer(
         config_to_json(slam.config).encode(), dtype=np.uint8
     )
@@ -390,7 +394,9 @@ def save_keyframe_slam(path: str, kslam) -> None:
         "relocalizations": kslam.relocalizations,
         "saturated": bool(kslam.saturated),
         "frame_idx": int(kslam._frame_idx),
-        "map_keyframe_only": bool(kslam._map_keyframe_only),
+        # the contribution ledger (keyframe map_poses + live-frame ring)
+        # is NOT persisted: a resumed run starts unledgered and its first
+        # significant correction performs a full rebuild
     }
     extra["events_json"] = np.frombuffer(
         json.dumps(events).encode(), dtype=np.uint8
@@ -407,7 +413,6 @@ def load_keyframe_slam(path: str, mesh=None):
     import jax.numpy as jnp_
 
     from ..models import keyframe_slam as km
-    from ..ops import preprocess as pre_ops_
 
     if mesh is not None:
         inner = load_sharded_slam(path, mesh)
@@ -445,16 +450,20 @@ def load_keyframe_slam(path: str, mesh=None):
         if "extra.kf_depths" in z:
             depths = np.asarray(z["extra.kf_depths"])
             fidx = np.asarray(z["extra.kf_frame_indices"])
+            # recompute the downsampled ICP frames through the SAME jit
+            # the live run uses (_kf_pre): an eager recomputation differs
+            # in float association order and bends post-resume pair ICP
+            # by ~mm
+            k._ensure_batch_icps()
             for i in range(depths.shape[0]):
-                frame = pre_ops_.preprocess(
-                    jnp_.asarray(depths[i]), config.camera, config.frontend
-                )
+                dev = jnp_.asarray(depths[i])
                 k.keyframes.append(
                     km._KeyframeRecord(
                         index=i,
                         frame_index=int(fidx[i]),
-                        frame=k._downsample(frame),
+                        frame=k._kf_pre(dev),
                         depth_raw=depths[i],
+                        depth_dev=dev,
                     )
                 )
         if "extra.refs_k" in z:
@@ -470,9 +479,9 @@ def load_keyframe_slam(path: str, mesh=None):
             k.relocalizations = events.get("relocalizations", [])
             k.saturated = bool(events.get("saturated", False))
             k._frame_idx = int(events.get("frame_idx", len(k._frame_refs)))
-            k._map_keyframe_only = bool(
-                events.get("map_keyframe_only", False)
-            )
+            # _map_ledgered stays False (set by _init_runtime_state): the
+            # contribution ledger does not survive a restart, so the first
+            # significant correction after resume rebuilds fully
     return k
 
 
