@@ -12,14 +12,14 @@ vs_baseline is against the >=30 fps/chip real-time bar (BASELINE.json; the
 reference itself publishes no numbers — README.md:4-5, its renderer never
 worked).
 
-The headline number is the HONEST one: a 200-frame Kinect-noise room-scale
-sweep (utils/synthetic.make_room_sweep) during which the map grows the
-whole time (new walls keep entering the frustum), GC and the robust
-frontend are active, and ICP tracks real pose error — not a steady-state
-loop over a handful of fully-mapped frames.  ``detail`` carries the
-steady-state number (the old flattering metric, for continuity), map
-growth, and tracking quality.  ``python bench.py --quick`` runs only the
-steady-state loop.
+The headline number is the HONEST one: the full system with the keyframe
+backend active (loop closure + BA + map reintegration) on a 400-frame
+closed-loop Kinect-noise sweep.  ``value_frontend_only`` is the 200-frame
+growing-map frontend sweep, and ``vs_baseline`` gates on the WORSE of the
+two so neither regression can hide.  ``detail`` carries the steady-state
+number (the old flattering metric, for continuity), map growth, tracking
+quality, and a per-stage breakdown.  ``python bench.py --quick`` runs
+only the steady-state loop.
 """
 
 import json
@@ -150,7 +150,8 @@ def _long_run(config, hash_slam, synthetic, metrics, num_frames=200,
     }
 
 
-def _backend_run(config, hash_slam, synthetic, metrics, num_frames=400):
+def _backend_run(config, hash_slam, synthetic, metrics, num_frames=400,
+                 warm_frames=60):
     """Keyframe-backend benchmark on a CLOSED 360-degree noisy sweep: the
     workload where loop closure + BA + map reintegration must pay off
     on-chip (VERDICT r2 item 3 — previously the backend's value was only
@@ -181,10 +182,10 @@ def _backend_run(config, hash_slam, synthetic, metrics, num_frames=400):
             config.keyframes, min_loop_separation=8, loop_radius=0.35,
             min_rotation_deg=15.0, min_translation=0.25,
             rebuild_move_min_trans=0.02, rebuild_move_min_rot_deg=1.0,
-            # right-sized graph capacity: the BA jacobian pays for the
-            # STATIC shape (6K tangents), and on-demand growth covers
-            # overflow — ~4x cheaper BA than the 64-pose default here
-            max_keyframes=32, max_edges=128,
+            # graph capacity stays at the config default: the r4
+            # block-sparse BA build is O(E) independent of capacity
+            # (ops/pose_graph.build_normal_equations), so the r3
+            # right-sizing to 32 poses is no longer needed
         ),
     )
     cam = config.camera
@@ -207,36 +208,24 @@ def _backend_run(config, hash_slam, synthetic, metrics, num_frames=400):
     ate_front_aligned = metrics.ate_rmse(front.trajectory, gt, align=True)
     del front
 
-    # warmup: a short sweep through the SAME config compiles the whole
-    # backend stack off the clock (step, batched candidate ICP, BA,
-    # rebuild, incremental reintegration, model re-render) — one-time
-    # compiles are cached in-process and on disk, not steady-state cost
+    # warmup: a short sweep through the SAME config compiles the tracking
+    # step + live keyframe batches off the clock, then the PUBLIC
+    # warm_compile API covers everything the sweep may not have reached
+    # (BA, rebuild, incremental reintegration, model re-render,
+    # relocalization batch).  The jit factories are config-memoized, so
+    # the measured instance below reuses these compiles.  Never reach
+    # into private internals here: that duplication is exactly what broke
+    # the r3 bench run (VERDICT r3 weakness 1/2).
     warm = keyframe_slam.KeyframeSLAM(config)
     wdepths, _ = synthetic.make_room_sweep(
-        cam, 60, sweep_deg=360.0, noise_seed=2
+        cam, warm_frames, sweep_deg=360.0, noise_seed=2
     )
     for d in wdepths:
         warm.process(jnp.asarray(d))
     warm.flush()
     _sync(warm.infos[-1].icp_error)
-    # the sweep above reliably exercises tracking + keyframe batches, but
-    # BA/rebuild/reintegrate depend on whether its loop closed — compile
-    # them EXPLICITLY (a cold reintegrate compile mid-measurement costs
-    # seconds on the tunnel)
-    from voxelhashing_demo_tpu.ops import pose_graph
-
-    g, _ = pose_graph.optimize(warm.graph, config.keyframes)
-    _sync(g.poses)
-    warm._ensure_jits()
-    _sync(warm._render_model(warm.state.hmap, warm.state.pose).depth)
-    reint = keyframe_slam.make_reintegrate(config)
-    I = jnp.eye(4, dtype=jnp.float32)
-    hm = reint(warm.state.hmap, depths[0], I, I, jnp.int32(0))
-    _sync(hm.free_top)
-    fuse = keyframe_slam.make_fuse_only(config)
-    hm = fuse(hm, depths[0], I, jnp.int32(0))
-    _sync(hm.free_top)
-    del warm, wdepths, hm, reint, fuse
+    warm.warm_compile(depths[0])
+    del warm, wdepths
 
     slam = keyframe_slam.KeyframeSLAM(config)
     info = slam.process(depths[0])
@@ -291,7 +280,7 @@ def _backend_run(config, hash_slam, synthetic, metrics, num_frames=400):
     }
 
 
-def _stage_breakdown(config, hash_slam, synthetic):
+def _stage_breakdown(config, hash_slam, synthetic, frames=24, reps=20):
     """Per-stage device times at a mid-sweep state (the roofline's
     denominator; see tools/profile_stages.py for the full picture)."""
     from voxelhashing_demo_tpu.geometry import se3
@@ -300,7 +289,7 @@ def _stage_breakdown(config, hash_slam, synthetic):
                                            splat as splat_ops)
 
     cam = config.camera
-    depths, _ = synthetic.make_room_sweep(cam, 24, sweep_deg=40.0,
+    depths, _ = synthetic.make_room_sweep(cam, frames, sweep_deg=40.0,
                                           noise_seed=1)
     depths = [jnp.asarray(d) for d in depths]
     slam = hash_slam.HashSLAM(config)
@@ -309,7 +298,7 @@ def _stage_breakdown(config, hash_slam, synthetic):
     state = slam.state
     frame = pre_ops.preprocess(depths[-1], cam, config.frontend)
 
-    def timeit(fn, *args, n=20):
+    def timeit(fn, *args, n=reps):
         f = jax.jit(fn)
         _sync(jax.tree.leaves(f(*args))[0])
         t0 = time.perf_counter()
@@ -370,14 +359,23 @@ def main():
     long_run = _long_run(config, hash_slam, synthetic, metrics)
     backend = _backend_run(config, hash_slam, synthetic, metrics)
     stages = _stage_breakdown(config, hash_slam, synthetic)
-    fps = long_run["fps"]
+    # HEADLINE = the full system WITH the keyframe backend active (loop
+    # closure + BA + map reintegration on the 400-frame closed sweep) —
+    # the north-star configuration, and the slower of the two honest
+    # workloads.  The frontend-only growing-map number rides alongside;
+    # vs_baseline gates on the worse of the two so neither regression
+    # can hide (VERDICT r3 item 2).
+    fps = backend["fps"]
+    fps_frontend = long_run["fps"]
     out = {
         "metric": "fused_frames_per_s_per_chip",
         "value": fps,
+        "value_frontend_only": fps_frontend,
         "unit": "fps",
-        "vs_baseline": round(fps / 30.0, 4),
+        "vs_baseline": round(min(fps, fps_frontend) / 30.0, 4),
         "detail": {
-            "workload": "200-frame Kinect-noise room sweep, growing map",
+            "workload": ("400-frame closed-loop Kinect-noise sweep, "
+                         "keyframe backend (BA + reintegration) active"),
             "long_run": long_run,
             "keyframe_backend": backend,
             "steady_state_fps": round(steady, 3),

@@ -114,6 +114,113 @@ def test_capacity_limits_are_safe():
     assert int(graph.num_edges) == 1
 
 
+def _dense_normal_equations(graph, robust_delta=None, kernel="gm"):
+    """Reference implementation: differentiate the FULL residual stack
+    against all K*6 twists at once ((E, 6, K, 6) Jacobian) — the pre-r4
+    O(E*K) build the block-sparse path must reproduce."""
+    import jax
+
+    K = graph.poses.shape[0]
+    ew = (pose_graph.robust_edge_weights(graph, robust_delta, kernel)
+          if robust_delta is not None else graph.edges_w)
+
+    def residual_of_twists(xis):
+        P = jax.vmap(lambda T, xi: T @ se3.exp(xi))(graph.poses, xis)
+        return pose_graph.edge_residuals(
+            P, graph.edges_ij, graph.edges_T
+        )
+
+    zeros = jnp.zeros((K, 6), dtype=jnp.float32)
+    r = residual_of_twists(zeros)
+    J = jax.jacfwd(residual_of_twists)(zeros)
+    E = r.shape[0]
+    Jf = J.reshape(E * 6, K * 6)
+    w = jnp.repeat(ew, 6)
+    Hn = (Jf * w[:, None]).T @ Jf
+    bn = (Jf * w[:, None]).T @ r.reshape(-1)
+    chi2 = jnp.sum(w * r.reshape(-1) ** 2)
+    return Hn, bn, chi2
+
+
+def _random_graph(K, E, cap_K=None, cap_E=None, seed=3):
+    """Noisy random graph: poses perturbed off a ring, random edges with
+    measurements taken at the ground truth (nonzero residuals)."""
+    rng = np.random.RandomState(seed)
+    gt = _ring_poses(K)
+    graph = pose_graph.create(cap_K or K, cap_E or E)
+    for T in gt:
+        noise = np.concatenate(
+            [rng.normal(0, 0.05, 3), rng.normal(0, 0.03, 3)]
+        ).astype(np.float32)
+        graph = pose_graph.add_pose(
+            graph, jnp.asarray(T @ np.asarray(se3.exp(jnp.asarray(noise))))
+        )
+    for _ in range(E):
+        i, j = rng.choice(K, size=2, replace=False)
+        graph = pose_graph.add_edge(
+            graph, int(i), int(j), jnp.asarray(_rel(gt[i], gt[j])),
+            float(rng.uniform(0.5, 2.0)),
+        )
+    return graph
+
+
+def test_block_sparse_build_matches_dense_jacfwd():
+    """The O(E) block-sparse normal-equation build must reproduce the
+    dense O(E*K) jacfwd build (same H, b, chi2) — including with padded
+    capacity and IRLS robust weights."""
+    graph = _random_graph(K=7, E=12, cap_K=12, cap_E=20)
+    for delta in (None, 0.1):
+        Hs, bs, c2s = pose_graph.build_normal_equations(graph, delta)
+        Hd, bd, c2d = _dense_normal_equations(graph, delta)
+        np.testing.assert_allclose(np.asarray(Hs), np.asarray(Hd),
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(bs), np.asarray(bd),
+                                   rtol=1e-4, atol=1e-6)
+        np.testing.assert_allclose(float(c2s), float(c2d), rtol=1e-5)
+
+
+def test_optimize_at_k256_capacity():
+    """BA at large padded capacity (VERDICT r3 item 3: the O(E*K) build
+    forced the bench to right-size capacity to 32 poses; the block-sparse
+    build must make K=256 routine).  64 real poses in a 256-capacity
+    graph: drift corrected, pads untouched."""
+    K, cap = 64, 256
+    gt = _ring_poses(K)
+    rng = np.random.RandomState(1)
+    graph = pose_graph.create(cap, 2 * cap)
+    est = [gt[0]]
+    for i in range(K - 1):
+        z = _rel(gt[i], gt[i + 1])
+        noise = np.concatenate(
+            [rng.normal(0, 0.01, 3), rng.normal(0, 0.005, 3)]
+        ).astype(np.float32)
+        est.append(est[-1] @ (z @ np.asarray(se3.exp(jnp.asarray(noise)))))
+    for T in est:
+        graph = pose_graph.add_pose(graph, jnp.asarray(T))
+    for i in range(K - 1):
+        graph = pose_graph.add_edge(
+            graph, i, i + 1, jnp.asarray(_rel(gt[i], gt[i + 1]))
+        )
+    graph = pose_graph.add_edge(
+        graph, K - 1, 0, jnp.asarray(_rel(gt[K - 1], gt[0]))
+    )
+    ate_before = metrics.ate_rmse(
+        [np.asarray(p) for p in graph.poses[:K]], gt, align=False
+    )
+    out, info = pose_graph.optimize(graph, KeyframeConfig(ba_iters=10))
+    ate_after = metrics.ate_rmse(
+        [np.asarray(p) for p in out.poses[:K]], gt, align=False
+    )
+    assert ate_after < 0.1 * ate_before
+    assert ate_after < 2e-3
+    # padded rows stay identity
+    np.testing.assert_allclose(
+        np.asarray(out.poses[K:]),
+        np.broadcast_to(np.eye(4, dtype=np.float32), (cap - K, 4, 4)),
+        atol=1e-5,
+    )
+
+
 def test_keyframe_slam_end_to_end():
     from voxelhashing_demo_tpu.models import keyframe_slam
     from voxelhashing_demo_tpu.utils import synthetic

