@@ -1,0 +1,97 @@
+"""Deferred-BA scheduling (KeyframeConfig.ba_defer_edges/_frames).
+
+In a continuous-closure regime (every keyframe insert accepts a loop
+edge — lap 2 of an endurance run) per-closure BA + reintegration
+dominated wall-clock (17 fps vs 30.6 single-lap, BENCH_NOTES r3).  The
+deferral window batches accepted closures into one solve: these tests
+pin the trigger semantics (edge-count batch, age bound, forced flush)
+by stubbing the candidate ICP so every insert accepts a loop edge.
+"""
+
+import dataclasses
+
+import numpy as np
+
+from voxelhashing_demo_tpu.config import tiny_config
+from voxelhashing_demo_tpu.models import keyframe_slam
+from voxelhashing_demo_tpu.utils import synthetic
+
+
+def _make_slam(**kf_overrides):
+    base = tiny_config()
+    config = dataclasses.replace(
+        base,
+        keyframes=dataclasses.replace(
+            base.keyframes,
+            # insert a keyframe every frame; every older keyframe is a
+            # loop candidate
+            min_rotation_deg=0.0, min_translation=0.0,
+            min_loop_separation=0, loop_radius=10.0,
+            loop_max_angle_deg=180.0,
+            rebuild_map=False,      # isolate the scheduling logic
+            sync_every=1,
+            **kf_overrides,
+        ),
+    )
+    slam = keyframe_slam.KeyframeSLAM(config)
+
+    def fake_batch(direction, small, cand_frames, inits, width):
+        C = width
+        Ts = np.broadcast_to(np.eye(4, dtype=np.float32),
+                             (C, 4, 4)).copy()
+        errs = np.full(C, 1e-6, np.float32)
+        cnts = np.full(C, 1e6, np.float32)
+        obs = np.full(C, 1.0, np.float32)
+        return Ts, errs, cnts, obs
+
+    slam._ensure_batch_icps = lambda: None
+    slam._run_batch = fake_batch
+    slam._kf_pre = lambda d: None
+    return slam
+
+
+def _drive(slam, n=10):
+    depths, _ = synthetic.make_sequence(
+        slam.config.camera, n, trans_amp=0.02, rot_amp_deg=1.0
+    )
+    for d in depths:
+        slam.process(d)
+    return slam
+
+
+def test_default_is_per_closure_ba():
+    slam = _drive(_make_slam())
+    # every insert after the second keyframe accepts a loop edge and,
+    # with the default (1, 0) window, runs BA immediately
+    assert len(slam.ba_events) >= 3
+    assert slam._pending_ba_edges == 0
+
+
+def test_edge_batch_defers_and_flush_forces():
+    a = _drive(_make_slam())
+    b = _drive(_make_slam(ba_defer_edges=3))
+    assert 1 <= len(b.ba_events) < len(a.ba_events)
+    # a leftover pending closure (if any) is resolved by flush()
+    b.flush()
+    assert b._pending_ba_edges == 0
+    # nothing lost: the deferred edges are all in the graph
+    assert b._n_edges == a._n_edges
+
+
+def test_age_trigger_bounds_latency():
+    c = _drive(_make_slam(ba_defer_edges=999, ba_defer_frames=4))
+    a = _drive(_make_slam())
+    assert 1 <= len(c.ba_events) < len(a.ba_events)
+    # the oldest pending closure never waits more than the age bound
+    # (events record the frame at which BA actually ran)
+    frames = [e["frame"] for e in c.ba_events]
+    assert frames[0] <= 2 + 4  # first closure frame + bound
+
+
+def test_fully_deferred_runs_only_at_flush():
+    d = _drive(_make_slam(ba_defer_edges=999, ba_defer_frames=0))
+    assert len(d.ba_events) == 0
+    assert d._pending_ba_edges > 0
+    d.flush()
+    assert len(d.ba_events) == 1
+    assert d._pending_ba_edges == 0

@@ -217,3 +217,67 @@ def test_sharded_chunked_fusion_and_splat(mesh):
     assert int(info.blocks_active) > 50
     ate = metrics.ate_rmse(slam.trajectory, gt, align=False)
     assert ate < 0.02, f"ATE {ate}"
+
+
+def test_sharded_incremental_reintegration(mesh):
+    """A BA correction on the SHARDED backend takes the incremental path
+    (owner-local make_sharded_reintegrate) and the moved map matches a
+    from-scratch sharded rebuild at the corrected poses (VERDICT r3
+    item 5)."""
+    import dataclasses
+
+    from voxelhashing_demo_tpu.geometry import se3
+    from voxelhashing_demo_tpu.models import keyframe_slam
+
+    cfg = dataclasses.replace(
+        CFG,
+        keyframes=dataclasses.replace(
+            CFG.keyframes, min_rotation_deg=2.0, min_translation=0.03,
+            rebuild_incremental=True,
+        ),
+    )
+    depths, _ = synthetic.make_sequence(cfg.camera, 8, trans_amp=0.08,
+                                        rot_amp_deg=4.0)
+    slam = keyframe_slam.KeyframeSLAM(cfg, mesh=mesh)
+    for d in depths:
+        slam.process(d)
+    slam.flush()
+    assert len(slam.keyframes) >= 2
+    slam._rebuild_map()                 # seed the contribution ledger
+    assert slam._map_ledgered
+
+    D = np.asarray(se3.exp(jnp.asarray(np.array(
+        [0.03, -0.02, 0.02, 0.0, np.deg2rad(1.5), 0.0], np.float32
+    ))))
+    slam._poses_np[: slam._n_poses] = D @ slam._poses_np[: slam._n_poses]
+    slam.graph = slam.graph._replace(
+        poses=jnp.einsum("ij,kjl->kil", jnp.asarray(D), slam.graph.poses)
+    )
+    slam.state = slam.state._replace(pose=jnp.asarray(D) @ slam.state.pose)
+    n, n_sat = slam._incremental_reintegrate()
+    assert n > 0
+    assert n_sat == 0
+
+    # reference: fresh sharded map, every ledger contribution fused at
+    # its corrected pose
+    fuse = sharded.make_sharded_fuse_only(cfg, mesh)
+    poses = slam._poses_np
+    ref = sharded.create_sharded(cfg, mesh).hmap
+    for rec in slam.keyframes:
+        if rec.map_pose is None:
+            continue
+        ref = fuse(ref, rec.depth_dev, jnp.asarray(poses[rec.index]),
+                   jnp.int32(rec.frame_index))
+    for ent in slam._ring:
+        target = (poses[ent.kf] @ ent.rel).astype(np.float32)
+        ref = fuse(ref, ent.depth, jnp.asarray(target),
+                   jnp.int32(ent.frame_index))
+
+    render = sharded.make_sharded_render_model(cfg, mesh)
+    a = render(slam.state.hmap, slam.state.pose)
+    b = render(ref, slam.state.pose)
+    da, db = np.asarray(a.depth), np.asarray(b.depth)
+    both = (da > 0) & (db > 0)
+    assert both.mean() > 0.4
+    med = np.median(np.abs(da - db)[both])
+    assert med < 1.0 * cfg.fusion.voxel_size, med

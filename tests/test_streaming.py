@@ -7,6 +7,7 @@ restore_blocks + utils/blockstore.BlockStore) bounds the device map by the
 working set only: total observed geometry here exceeds 2x num_blocks and
 the run survives where the non-streaming twin collapses."""
 
+import jax
 import numpy as np
 import jax.numpy as jnp
 
@@ -52,7 +53,7 @@ def test_evict_restore_bit_exact(tiny_cfg):
     )
     free0 = int(hmap.free_top)
 
-    hmap, ekeys, etsdf, eweight, ne = hash_ops.evict_stale(
+    hmap, ekeys, etsdf, eweight, eborn, ne = hash_ops.evict_stale(
         hmap, cfg, 40, 30, 64
     )
     assert int(ne) == 30
@@ -243,9 +244,11 @@ def test_bucket_helper():
 
 
 def test_packed_restore_roundtrip(tiny_cfg):
-    """The single packed upload [key-bits | tsdf | weight] restores
-    bit-exactly through the bucketed jit (key int32 bits survive the
-    float32 view on both ends)."""
+    """The single packed upload [key-bits | tsdf | weight | born]
+    restores bit-exactly through the bucketed jit (key int32 bits survive
+    the float32 view on both ends — including the EMPTY_KEY padding
+    sentinel 0x7FFFFFFF, which is a NaN bit pattern: the host->device
+    transfer must not canonicalize it, r3 ADVICE item 2)."""
     import dataclasses
 
     from voxelhashing_demo_tpu.models import hash_slam as hs
@@ -255,15 +258,22 @@ def test_packed_restore_roundtrip(tiny_cfg):
     V = cfg.hash.voxels_per_block
     rng = np.random.default_rng(0)
     n, b = 3, 4
-    keys = np.array([7, -1234, 99999 % 2**20], np.int32)
     tsdf = rng.normal(size=(n, V)).astype(np.float32) * 0.05
     weight = rng.uniform(1, 5, size=(n, V)).astype(np.float32)
+    born = np.array([0, 7, 123], np.int32)
 
-    packed = np.zeros((b, 1 + 2 * V), np.float32)
+    packed = np.zeros((b, 2 + 2 * V), np.float32)
     packed[:, 0] = np.full(b, EMPTY_KEY, np.int32).view(np.float32)
-    packed[:n, 0] = keys.view(np.float32)
     packed[:n, 1 : 1 + V] = tsdf
-    packed[:n, 1 + V :] = weight
+    packed[:n, 1 + V : 1 + 2 * V] = weight
+    packed[:n, 1 + 2 * V] = born.astype(np.float32)
+
+    # EMPTY_KEY's float32 bit pattern is a NaN payload: assert the raw
+    # bits survive the host->device round-trip on this platform
+    dev_bits = np.asarray(
+        jax.lax.bitcast_convert_type(jnp.asarray(packed[:, 0]), jnp.int32)
+    )
+    np.testing.assert_array_equal(dev_bits, np.full(b, EMPTY_KEY))
 
     # keys must be valid packed block keys for restore's bucket probe:
     # use real packed coords instead of arbitrary ints
@@ -277,7 +287,7 @@ def test_packed_restore_roundtrip(tiny_cfg):
 
     restore = hs.make_restore(cfg, b)
     hmap, accepted = restore(
-        hash_ops.create(cfg.hash), jnp.asarray(packed), jnp.int32(0)
+        hash_ops.create(cfg.hash), jnp.asarray(packed), jnp.int32(99)
     )
     acc = np.asarray(accepted)
     assert acc[:n].all() and not acc[n:].any()
@@ -289,3 +299,151 @@ def test_packed_restore_roundtrip(tiny_cfg):
     got_w = np.asarray(hmap.weight)[np.asarray(ptrs)]
     np.testing.assert_array_equal(got_t, tsdf)
     np.testing.assert_array_equal(got_w, weight)
+    # born stamps come back verbatim, not stamped "now" (frame 99)
+    np.testing.assert_array_equal(
+        np.asarray(hmap.born)[np.asarray(ptrs)], born
+    )
+
+
+def test_born_survives_evict_restore_for_exact_defuse(tiny_cfg):
+    """The streaming-exactness foundation: a frame fused at t=0, whose
+    rows were evicted and restored later, must still de-integrate
+    EXACTLY (the born gate needs the ORIGINAL allocation stamps, which
+    evict/restore now preserve — VERDICT r3 item 5)."""
+    from voxelhashing_demo_tpu.ops import preprocess as pre_ops
+
+    cfg = tiny_cfg
+    depths, poses = synthetic.make_sequence(
+        cfg.camera, 2, trans_amp=0.06, rot_amp_deg=4.0
+    )
+
+    def fuse(hmap, i, frame_idx):
+        frame = pre_ops.preprocess(jnp.asarray(depths[i]), cfg.camera)
+        hmap, _, _ = hash_ops.fuse_frame(
+            hmap, frame, jnp.asarray(poses[i]), cfg.camera, cfg.hash,
+            cfg.fusion, frame_idx=frame_idx,
+        )
+        return hmap
+
+    only_a = fuse(hash_ops.create(cfg.hash), 0, 0)
+
+    both = fuse(hash_ops.create(cfg.hash), 0, 0)
+    both = fuse(both, 1, 1)
+    # evict EVERYTHING (age 0 at frame 50), then restore at frame 51
+    both, ekeys, etsdf, eweight, eborn, ne = hash_ops.evict_stale(
+        both, cfg.hash, 50, 0, 512
+    )
+    assert int(ne) > 0
+    both, acc = hash_ops.restore_blocks(
+        both, cfg.hash, ekeys, etsdf, eweight, 51, born_rows=eborn
+    )
+    live = np.asarray(ekeys) != int(hash_ops.EMPTY_KEY)
+    assert np.asarray(acc)[live].all()
+
+    frame_b = pre_ops.preprocess(jnp.asarray(depths[1]), cfg.camera)
+    undone = hash_ops.defuse_frame(
+        both, frame_b, jnp.asarray(poses[1]), cfg.camera, cfg.hash,
+        cfg.fusion, frame_born=1,
+    )
+
+    # every A-row's content must match the A-only map exactly
+    def rows_by_key(hmap):
+        keys = np.asarray(hmap.keys)
+        ptrs = np.asarray(hmap.ptrs)
+        occ = ptrs >= 0
+        return {int(k): int(p) for k, p in zip(keys[occ], ptrs[occ])}
+
+    rows_a = rows_by_key(only_a)
+    rows_u = rows_by_key(undone)
+    assert set(rows_a) <= set(rows_u)
+    t_a, w_a = np.asarray(only_a.tsdf), np.asarray(only_a.weight)
+    t_u, w_u = np.asarray(undone.tsdf), np.asarray(undone.weight)
+    for key, pa in rows_a.items():
+        pu = rows_u[key]
+        np.testing.assert_allclose(w_u[pu], w_a[pa], atol=1e-4)
+        lv = w_a[pa] > 0
+        np.testing.assert_allclose(t_u[pu][lv], t_a[pa][lv], atol=5e-4)
+    # blocks allocated only by B return to zero weight
+    for key, pu in rows_u.items():
+        if key not in rows_a:
+            assert w_u[pu].max() < 1e-4
+
+
+def test_streaming_incremental_reintegration():
+    """A BA correction on a STREAMING map takes the incremental path:
+    moved frames restore their frustums from the host store first (with
+    preserved born stamps), then de/re-integrate — and the result matches
+    a from-scratch map fused at the corrected poses (VERDICT r3 item 5)."""
+    import dataclasses
+
+    from voxelhashing_demo_tpu.geometry import se3
+    from voxelhashing_demo_tpu.models import keyframe_slam
+
+    base = _stream_cfg(True)
+    cfg = dataclasses.replace(
+        base,
+        keyframes=dataclasses.replace(
+            base.keyframes, min_rotation_deg=8.0, min_translation=0.10,
+            rebuild_incremental=True,
+        ),
+    )
+    depths, gt = synthetic.make_room_sweep(CAM, 24, sweep_deg=150.0)
+    slam = keyframe_slam.KeyframeSLAM(cfg)
+    for d in depths[:16]:
+        slam.process(d)
+    slam.flush()
+    assert len(slam.keyframes) >= 2
+    # seed the ledger with a full (streaming) rebuild, then keep going
+    slam._rebuild_map()
+    assert slam._map_ledgered
+    for d in depths[16:]:
+        slam.process(d)
+    slam.flush()
+    store = slam._driver.store
+    assert store is not None and len(store) > 0, \
+        "scenario must actually stream"
+
+    # move every pose by a rigid D and take the incremental path
+    D = np.asarray(se3.exp(jnp.asarray(np.array(
+        [0.04, -0.03, 0.02, 0.0, np.deg2rad(2.0), 0.0], np.float32
+    ))))
+    slam._poses_np[: slam._n_poses] = (
+        D @ slam._poses_np[: slam._n_poses]
+    )
+    slam.graph = slam.graph._replace(
+        poses=jnp.einsum("ij,kjl->kil", jnp.asarray(D), slam.graph.poses)
+    )
+    slam.state = slam.state._replace(
+        pose=jnp.asarray(D) @ slam.state.pose
+    )
+    n, n_sat = slam._incremental_reintegrate()
+    assert n > 0
+
+    # reference: same ledger contributions fused from scratch at the
+    # corrected poses into a NON-streaming map of ample capacity
+    ref_cfg = dataclasses.replace(
+        cfg,
+        hash=dataclasses.replace(cfg.hash, num_blocks=4096),
+        stream=dataclasses.replace(cfg.stream, enabled=False),
+    )
+    fuse = keyframe_slam.make_fuse_only(ref_cfg)
+    poses = slam._poses_np
+    ref = hash_ops.create(ref_cfg.hash)
+    for rec in slam.keyframes:
+        if rec.map_pose is None:
+            continue
+        ref = fuse(ref, rec.depth_dev, jnp.asarray(poses[rec.index]),
+                   jnp.int32(rec.frame_index))
+    for ent in slam._ring:
+        target = (poses[ent.kf] @ ent.rel).astype(np.float32)
+        ref = fuse(ref, ent.depth, jnp.asarray(target),
+                   jnp.int32(ent.frame_index))
+
+    render_ref = keyframe_slam.make_render_model(ref_cfg)
+    a = slam._render_model(slam.state.hmap, slam.state.pose)
+    b = render_ref(ref, slam.state.pose)
+    da, db = np.asarray(a.depth), np.asarray(b.depth)
+    both = (da > 0) & (db > 0)
+    assert both.mean() > 0.4
+    med = np.median(np.abs(da - db)[both])
+    assert med < 1.0 * cfg.fusion.voxel_size, med

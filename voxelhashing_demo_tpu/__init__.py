@@ -16,11 +16,36 @@ import jax as _jax
 # package therefore mutates global jax.config (documented in CLAUDE.md).
 # Opt out with VOXELHASHING_NO_COMPILE_CACHE=1 (e.g. when measuring
 # compile time); "0"/"" leave the cache on.
+def _machine_tag() -> str:
+    """Host-CPU fingerprint for the cache path.  XLA:CPU serializes
+    AOT executables with the COMPILING machine's feature set and loading
+    them on a host with different features can SIGABRT/SIGILL outright
+    (observed: a cache populated on an avx10-era host aborted this
+    host's whole test run inside cache deserialization).  Scoping the
+    cache dir by CPU fingerprint makes a foreign cache invisible instead
+    of fatal; each machine pays one cold compile pass."""
+    import hashlib as _hashlib
+    import platform as _platform
+
+    feat = ""
+    try:
+        with open("/proc/cpuinfo") as _f:
+            for _line in _f:
+                if _line.startswith(("flags", "Features")):
+                    feat = _line
+                    break
+    except OSError:
+        pass
+    return _hashlib.sha1(
+        (_platform.machine() + feat).encode()
+    ).hexdigest()[:12]
+
+
 if _os.environ.get("VOXELHASHING_NO_COMPILE_CACHE") in (None, "", "0"):
     _cache_dir = _os.environ.get(
         "VOXELHASHING_COMPILE_CACHE_DIR",
         _os.path.join(_os.path.dirname(_os.path.dirname(__file__)),
-                      ".jax_cache"),
+                      ".jax_cache", _machine_tag()),
     )
     try:
         _jax.config.update("jax_compilation_cache_dir", _cache_dir)

@@ -273,22 +273,28 @@ def cmd_run(args) -> None:
             ck.save_slam(os.path.join(args.out, name), slam,
                          graph=getattr(slam, "graph", None))
 
+    # pack the per-frame scalars ON DEVICE in ONE jitted dispatch (no
+    # fetch): materializing them field-by-field after the run would cost
+    # ~6 blocking fetches x one tunnel RTT per frame, and an EAGER
+    # 6-op pack is ~6 separate ~1.6 ms dispatches per frame on the
+    # tunnel (r3 ADVICE item 3) — the jit makes it one
+    @jax.jit
+    def _pack_info(info):
+        return jnp.stack([
+            info.tracked.astype(jnp.float32), info.icp_error,
+            info.icp_iters.astype(jnp.float32),
+            info.blocks_allocated.astype(jnp.float32),
+            info.blocks_active.astype(jnp.float32),
+            info.blocks_freed.astype(jnp.float32),
+        ])
+
     infos = []
     sat_frames = set()
     live_frames = []
     t0 = time.perf_counter()
     for i, d in enumerate(depths):
         info = slam.process(jnp.asarray(np.asarray(d, dtype=np.uint16)))
-        # pack the per-frame scalars ON DEVICE (one async dispatch, no
-        # fetch): materializing them field-by-field after the run would
-        # cost ~6 blocking fetches x one tunnel RTT per frame
-        infos.append(jnp.stack([
-            info.tracked.astype(jnp.float32), info.icp_error,
-            info.icp_iters.astype(jnp.float32),
-            info.blocks_allocated.astype(jnp.float32),
-            info.blocks_active.astype(jnp.float32),
-            info.blocks_freed.astype(jnp.float32),
-        ]))
+        infos.append(_pack_info(info))
         if getattr(slam, "saturated", False):
             sat_frames.add(i)
         if (

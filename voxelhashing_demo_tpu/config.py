@@ -267,6 +267,20 @@ class KeyframeConfig:
     min_translation: float = 0.15    # ... or translation (meters) this
     ba_iters: int = 5
     ba_damping: float = 1e-4
+    # BA scheduling: run the optimizer only once this many NEW accepted
+    # loop edges have accumulated since the last run, or once the oldest
+    # pending edge has waited ba_defer_frames frames (whichever first).
+    # 1/0 = optimize on every closure (default, the conservative
+    # behavior).  In a continuous-closure regime — every new keyframe
+    # closes against an old neighbor, e.g. the second lap of a two-lap
+    # sweep — per-closure BA + map reintegration dominates wall-clock
+    # (measured 17 fps vs 30.6 single-lap, BENCH_NOTES r3); edges keep
+    # accumulating in the graph while deferred, so batching the solve
+    # trades only bounded correction latency for removing most of those
+    # stops.  ba_defer_frames=0 disables the age trigger (edges then
+    # wait for a full batch); pending BA always runs at flush().
+    ba_defer_edges: int = 1
+    ba_defer_frames: int = 0
     # IRLS robust kernel on the per-edge se(3) residual norm (meters +
     # radians mixed); delta 0 = off.  Bounds (kernel "huber") or
     # essentially eliminates (kernel "gm", Geman-McClure, default) the
@@ -330,8 +344,11 @@ class KeyframeConfig:
     # ONLY the keyframes whose pose moved (the Curless-Levoy average is
     # exactly invertible below the weight cap, ops/hash_ops.defuse_frame)
     # instead of replaying all K keyframes — the full-stop rebuild hitch
-    # shrinks by the unmoved fraction.  Single-chip, non-streaming runs
-    # only; others keep the full rebuild.
+    # shrinks by the unmoved fraction.  Supported on all backends:
+    # sharded meshes use the owner-local twin
+    # (parallel/sharded.make_sharded_reintegrate) and streaming maps
+    # restore a moved frame's frustums first (evict/restore preserve the
+    # born stamps the de-integration gate needs).
     rebuild_incremental: bool = True
     rebuild_move_min_trans: float = 0.005   # keyframe "moved" thresholds
     rebuild_move_min_rot_deg: float = 0.25
@@ -351,6 +368,14 @@ class KeyframeConfig:
     reloc_after: int = 3          # consecutive lost frames before trying
     reloc_interval: int = 2       # retry cadence while still lost
     reloc_max_candidates: int = 16  # most recent keyframes searched
+    # seed each relocalization candidate with closed-form Procrustes
+    # rounds (geometry/procrustes.procrustes_init — the role of the
+    # reference's legacy correspondence-SVD rigidAlignment,
+    # CameraTracking.cpp:92-115) before the ICP refinement: the exact
+    # (non-linearized) rotation solve extends the capture basin beyond
+    # what identity-start GN recovers
+    reloc_procrustes: bool = True
+    reloc_procrustes_rounds: int = 2
     # host<->device sync cadence of the keyframe layer: per-frame
     # decisions (keyframe insertion, lost-streak, frame refs) need the
     # tracked pose on the host, and one tunnel fetch costs a full RTT

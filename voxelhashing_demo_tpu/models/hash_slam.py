@@ -13,6 +13,7 @@ table and streaming garbage collection the reference lacked.
 
 from __future__ import annotations
 
+import functools
 from functools import partial
 from typing import NamedTuple
 
@@ -178,6 +179,7 @@ def step(
     return new_state, info
 
 
+@functools.lru_cache(maxsize=None)
 def make_step(config: PipelineConfig):
     """Jitted step with the state buffers DONATED: the big map arrays
     (tsdf/weight, 100s of MB at production scale) update in place instead
@@ -188,6 +190,7 @@ def make_step(config: PipelineConfig):
     )
 
 
+@functools.lru_cache(maxsize=None)
 def make_scan_step(config: PipelineConfig):
     """Jitted multi-frame step: ``lax.scan`` of ``step`` over a stacked
     (K, H, W) depth chunk, state donated.
@@ -210,6 +213,7 @@ def make_scan_step(config: PipelineConfig):
     return jax.jit(chunk, donate_argnums=0)
 
 
+@functools.lru_cache(maxsize=None)
 def make_evict(config: PipelineConfig):
     """Jitted eviction scan (state donated): pops blocks unseen for
     stream.max_age frames out of the map.  Returns (map, keys, payload
@@ -220,15 +224,19 @@ def make_evict(config: PipelineConfig):
     s = config.stream
 
     def evict(hmap, frame_idx):
-        hmap, keys, tsdf, weight, n = hash_ops.evict_stale(
+        hmap, keys, tsdf, weight, born, n = hash_ops.evict_stale(
             hmap, config.hash, frame_idx, s.max_age, s.max_evict
         )
-        payload = jnp.concatenate([tsdf, weight], axis=1)
+        # born rides as a float column (exact for frame counts < 2^24)
+        payload = jnp.concatenate(
+            [tsdf, weight, born.astype(jnp.float32)[:, None]], axis=1
+        )
         return hmap, keys, payload, n
 
     return jax.jit(evict, donate_argnums=0)
 
 
+@functools.lru_cache(maxsize=None)
 def make_restore(config: PipelineConfig, batch: int):
     """Jitted restore for a ``batch``-sized padded upload (state donated):
     re-inserts stored blocks with their payload; returns (map, accepted).
@@ -241,10 +249,11 @@ def make_restore(config: PipelineConfig, batch: int):
     def restore(hmap, packed, frame_idx):
         keys = jax.lax.bitcast_convert_type(packed[:, 0], jnp.int32)
         tsdf = packed[:, 1 : 1 + V]
-        weight = packed[:, 1 + V :]
+        weight = packed[:, 1 + V : 1 + 2 * V]
+        born = packed[:, 1 + 2 * V].astype(jnp.int32)
         return hash_ops.restore_blocks(
             hmap, config.hash, keys, tsdf, weight, frame_idx,
-            max_weight=config.fusion.max_weight,
+            max_weight=config.fusion.max_weight, born_rows=born,
         )
 
     return jax.jit(restore, donate_argnums=0)
@@ -308,9 +317,19 @@ class HashSLAM:
             pred, self.config.camera, self.config.fusion,
             s.restore_margin_px, s.max_restore,
         )
+        self._restore_keys(keys)
+
+    def _restore_keys(self, keys) -> None:
+        """Restore the given stored keys onto the device (ONE packed
+        upload); shared by the streaming loop and the keyframe backend's
+        incremental reintegration (which must pull a moved frame's
+        frustums back on-device before de-integrating)."""
+        import numpy as np
+
+        s = self.config.stream
         if keys.size == 0:
             return
-        tsdf, weight = self.store.rows_for(keys)
+        tsdf, weight, born = self.store.rows_for(keys)
         # pad only to the bucket size (uploading the full max_restore
         # padding cost ~8 MB host->device per cycle) and pack keys +
         # payload into ONE upload
@@ -318,12 +337,13 @@ class HashSLAM:
         from ..geometry.coords import EMPTY_KEY
 
         V = self.config.hash.voxels_per_block
-        packed = np.zeros((b, 1 + 2 * V), np.float32)
+        packed = np.zeros((b, 2 + 2 * V), np.float32)
         packed[:, 0] = np.full(b, EMPTY_KEY, np.int32).view(np.float32)
         m = keys.shape[0]
         packed[:m, 0] = keys.view(np.float32)
         packed[:m, 1 : 1 + V] = tsdf
-        packed[:m, 1 + V :] = weight
+        packed[:m, 1 + V : 1 + 2 * V] = weight
+        packed[:m, 1 + 2 * V] = born.astype(np.float32)
         hmap, accepted = self._restore_for(b)(
             self.state.hmap, jnp.asarray(packed), self.state.frame_idx,
         )
@@ -343,7 +363,9 @@ class HashSLAM:
             b = _bucket(n, self.config.stream.max_evict)
             V = self.config.hash.voxels_per_block
             arr = np.asarray(payload[:b])
-            store.add(np.asarray(keys[:b]), arr[:, :V], arr[:, V:])
+            store.add(np.asarray(keys[:b]), arr[:, :V],
+                      arr[:, V : 2 * V],
+                      arr[:, 2 * V].astype(np.int32))
         return hmap
 
     def _stream_evict(self):

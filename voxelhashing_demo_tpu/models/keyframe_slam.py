@@ -135,6 +135,72 @@ def make_render_model(config: PipelineConfig):
     return jax.jit(render)
 
 
+@functools.lru_cache(maxsize=None)
+def _make_batch_icps(lcam, icp_config, loop_icp_max_iters: int):
+    """(fwd, rev) vmapped candidate-ICP jits at the keyframe resolution.
+    Memoized on (camera, icp config, iter cap) — hashable frozen
+    dataclasses — so every instance with the same config shares them."""
+    import dataclasses as _dc
+
+    icfg = _dc.replace(icp_config, max_iters=loop_icp_max_iters)
+
+    def pack(res):
+        return jnp.concatenate(
+            [res.transform.reshape(-1, 16),
+             res.error[:, None], res.count[:, None],
+             icp_ops.observability(res)[:, None]], axis=1
+        )
+
+    def stack(frames):
+        # tuple-of-Frames -> stacked Frame, INSIDE the jit (an eager
+        # per-array stack is a dispatch each on a remote chip)
+        return jax.tree.map(lambda *xs: jnp.stack(xs), *frames)
+
+    def fwd(src, frames, inits):
+        return pack(jax.vmap(
+            lambda t, i: icp_ops.icp_align(src, t, lcam, icfg, init_T=i)
+        )(stack(frames), inits))
+
+    def rev(frames, tgt, inits):
+        return pack(jax.vmap(
+            lambda s, i: icp_ops.icp_align(s, tgt, lcam, icfg, init_T=i)
+        )(stack(frames), inits))
+
+    return jax.jit(fwd), jax.jit(rev)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_batch_procrustes(lcam, icp_config, rounds: int):
+    """Vmapped closed-form Procrustes initializer over a padded candidate
+    batch (one dispatch for all relocalization candidates).  Zero-pad
+    frames solve to identity (total weight 0)."""
+    from ..geometry import procrustes as proc
+
+    def inits(src, frames):
+        stackf = jax.tree.map(lambda *xs: jnp.stack(xs), *frames)
+        return jax.vmap(
+            lambda t: proc.procrustes_init_raced(src, t, lcam, icp_config,
+                                                 rounds=rounds)
+        )(stackf)
+
+    return jax.jit(inits)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_kf_pre(cam, frontend, downsample: int, lcam):
+    """Jitted preprocess + downsample for keyframe insertion (memoized;
+    the eager chain cost ~100 dispatches = 314 ms on the tunnel)."""
+
+    def kf_pre(depth_raw):
+        frame = pre_ops.preprocess(depth_raw, cam, frontend)
+        if downsample == 1:
+            return frame
+        d = pre_ops.downsample_depth(frame.depth, downsample)
+        return pre_ops.preprocess_metric(d, lcam)
+
+    return jax.jit(kf_pre)
+
+
 def _rot_deg_np(T: np.ndarray) -> float:
     """Rotation angle of a 4x4 (or 3x3) transform, degrees, pure numpy."""
     c = (float(np.trace(np.asarray(T)[:3, :3])) - 1.0) / 2.0
@@ -245,6 +311,11 @@ class KeyframeSLAM:
         # bookkeeping hasn't run yet, and host mirrors of the device
         # graph so per-frame decisions never block on a tunnel fetch
         self._pending: List[tuple] = []
+        # BA scheduling (kcfg.ba_defer_edges/_frames): accepted loop
+        # edges accumulate here until the batch/age trigger runs the
+        # optimizer (one solve + one reintegration pass for the burst)
+        self._pending_ba_edges = 0
+        self._pending_ba_since = 0
         self._poses_np = np.broadcast_to(
             np.eye(4, dtype=np.float32),
             (self.graph.poses.shape[0], 4, 4),
@@ -391,59 +462,26 @@ class KeyframeSLAM:
         """Vmapped candidate-ICP jits: ALL loop/odometry/relocalization
         candidates run in ONE dispatch and their results come back in ONE
         fetch — a dispatch+fetch round per candidate costs a full tunnel
-        RTT each (~30 ms) and was the dominant keyframe-frame cost."""
+        RTT each (~30 ms) and was the dominant keyframe-frame cost.
+        Config-memoized like the other jit factories, so instances with
+        the same config share compiles."""
         if self._batch_fwd is not None:
             return
-        import dataclasses as _dc
-
-        lcam = self._lcam
-        icfg = _dc.replace(self.config.icp,
-                           max_iters=self.kcfg.loop_icp_max_iters)
-
-        def pack(res):
-            return jnp.concatenate(
-                [res.transform.reshape(-1, 16),
-                 res.error[:, None], res.count[:, None],
-                 icp_ops.observability(res)[:, None]], axis=1
-            )
-
-        def stack(frames):
-            # tuple-of-Frames -> stacked Frame, INSIDE the jit (an eager
-            # per-array stack is a dispatch each on a remote chip)
-            return jax.tree.map(lambda *xs: jnp.stack(xs), *frames)
-
-        def fwd(src, frames, inits):
-            return pack(jax.vmap(
-                lambda t, i: icp_ops.icp_align(src, t, lcam, icfg,
-                                               init_T=i)
-            )(stack(frames), inits))
-
-        def rev(frames, tgt, inits):
-            return pack(jax.vmap(
-                lambda s, i: icp_ops.icp_align(s, tgt, lcam, icfg,
-                                               init_T=i)
-            )(stack(frames), inits))
-
-        self._batch_fwd = jax.jit(fwd)
-        self._batch_rev = jax.jit(rev)
+        self._batch_fwd, self._batch_rev = _make_batch_icps(
+            self._lcam,
+            self.config.icp,
+            self.kcfg.loop_icp_max_iters,
+        )
         h, w = self._lcam.height, self._lcam.width
         self._zero_small = pre_ops.Frame(
             vertices=jnp.zeros((h, w, 3), jnp.float32),
             normals=jnp.zeros((h, w, 3), jnp.float32),
             depth=jnp.zeros((h, w), jnp.float32),
         )
-        cam, fe = self.config.camera, self.config.frontend
-        f = self.kcfg.icp_downsample
-        lc = self._lcam
-
-        def kf_pre(depth_raw):
-            frame = pre_ops.preprocess(depth_raw, cam, fe)
-            if f == 1:
-                return frame
-            d = pre_ops.downsample_depth(frame.depth, f)
-            return pre_ops.preprocess_metric(d, lc)
-
-        self._kf_pre = jax.jit(kf_pre)
+        self._kf_pre = _make_kf_pre(
+            self.config.camera, self.config.frontend,
+            self.kcfg.icp_downsample, self._lcam,
+        )
 
     def _run_batch(self, direction, small, cand_frames, inits, width):
         """Pad candidates to ``width``, run the vmapped ICP, return
@@ -560,8 +598,28 @@ class KeyframeSLAM:
 
         self.keyframes.append(rec)
         if loop_closed:
-            return self._optimize()
-        return None
+            if self._pending_ba_edges == 0:
+                self._pending_ba_since = self._frame_idx
+            self._pending_ba_edges += 1
+        return self._maybe_optimize()
+
+    def _maybe_optimize(self, force: bool = False):
+        """Run BA if the deferral trigger fires (kcfg.ba_defer_edges
+        accepted closures accumulated, or the oldest pending one waited
+        kcfg.ba_defer_frames frames, or ``force``).  Returns the applied
+        correction (numpy) or None."""
+        if self._pending_ba_edges <= 0:
+            return None
+        waited = self._frame_idx - self._pending_ba_since
+        if not (
+            force
+            or self._pending_ba_edges >= max(self.kcfg.ba_defer_edges, 1)
+            or (self.kcfg.ba_defer_frames > 0
+                and waited >= self.kcfg.ba_defer_frames)
+        ):
+            return None
+        self._pending_ba_edges = 0
+        return self._optimize()
 
     def _optimize(self) -> np.ndarray:
         """Run BA, propagate the last-keyframe correction to the live
@@ -593,13 +651,10 @@ class KeyframeSLAM:
             trans > self.kcfg.rebuild_min_trans
             or rot > self.kcfg.rebuild_min_rot_deg
         ):
-            streaming = getattr(self._driver, "store", None) is not None
             if (
                 self.kcfg.rebuild_incremental
                 and self._map_ledgered
                 and not self._ring_overflow
-                and not streaming
-                and self.mesh is None
             ):
                 n_reint, n_sat = self._incremental_reintegrate()
                 mode = "incremental"
@@ -648,27 +703,69 @@ class KeyframeSLAM:
         the LEDGER pose (what was actually fused — which differs from the
         graph pose for frames fused before an in-batch correction or
         relocalization landed) keeps the inverse exact.  Returns
-        (n_reintegrated, n_visible_set_saturations)."""
+        (n_reintegrated, n_visible_set_saturations).
+
+        Works on all three backends: single-chip, sharded (the
+        owner-local make_sharded_reintegrate twin), and streaming — for
+        a streaming map the rows a moved frame touched may live in the
+        host store, so they are restored (with their ORIGINAL born
+        stamps, which evict/restore preserve) for both the old and new
+        frustums before the move; store rows that could not be restored
+        (device capacity) count as saturations, never silent."""
         new_poses = self._poses_np
         self._ensure_jits()
         if self._reintegrate is None:
-            self._reintegrate = make_reintegrate(self.config)
+            if self.mesh is None:
+                self._reintegrate = make_reintegrate(self.config)
+            else:
+                from ..parallel import sharded as sharded_mod
+
+                self._reintegrate = sharded_mod.make_sharded_reintegrate(
+                    self.config, self.mesh
+                )
         d = self._driver
-        hmap = d.state.hmap
+        streaming = getattr(d, "store", None) is not None
         n = 0
         n_sat = 0
         A = self.config.hash.max_active
         sat_counts = []
 
+        def restore_frustums(from_pose, to_pose):
+            """Streaming: pull stored rows back on device for both the
+            de-integration and re-integration frustums (ONE restore per
+            pose via the driver's streaming machinery)."""
+            nonlocal n_sat
+            s = self.config.stream
+            for pose in (from_pose, to_pose):
+                if not len(d.store):
+                    return
+                keys = d.store.query_frustum(
+                    np.asarray(pose, np.float32), self.config.camera,
+                    self.config.fusion, s.restore_margin_px,
+                    s.max_restore,
+                )
+                if keys.size == 0:
+                    continue
+                d._restore_keys(keys)
+                # rows still stored could not come back on device: their
+                # share of the frame's contribution cannot be moved
+                n_sat += sum(
+                    1 for k in keys if int(k) in d.store._index
+                )
+
         def move(depth_dev, frame_idx, from_pose, to_pose):
-            nonlocal hmap
+            nonlocal n
+            if streaming:
+                restore_frustums(from_pose, to_pose)
             hmap, cnt = self._reintegrate(
-                hmap, depth_dev,
+                d.state.hmap, depth_dev,
                 jnp.asarray(from_pose, dtype=jnp.float32),
                 jnp.asarray(to_pose, dtype=jnp.float32),
                 jnp.int32(frame_idx),
             )
+            d.state = d.state._replace(hmap=hmap)
             sat_counts.append(cnt)
+            n += 1
 
         for rec in self.keyframes:
             if rec.map_pose is None:
@@ -680,21 +777,25 @@ class KeyframeSLAM:
                    else jnp.asarray(rec.depth_raw))
             move(dep, rec.frame_index, rec.map_pose, target)
             rec.map_pose = target.copy()
-            n += 1
         for ent in self._ring:
             target = new_poses[ent.kf] @ ent.rel
             if not self._moved(ent.map_pose, target):
                 continue
             move(ent.depth, ent.frame_index, ent.map_pose, target)
             ent.map_pose = target.astype(np.float32)
-            n += 1
         if sat_counts:
             # ONE batched fetch of the visible-set counts (max_active hit
             # means the de/re-integration frustum was truncated)
             counts = np.asarray(jnp.stack(sat_counts))
-            n_sat = int((counts >= A).sum())
-        model = self._render_model(hmap, d.state.pose)
-        d.state = d.state._replace(hmap=hmap, model=model)
+            n_sat += int((counts >= A).sum())
+        if n == 0:
+            # nothing moved: the map is untouched, so the model rendered
+            # by the last step is still valid — skip the re-render (in
+            # the continuous-closure regime most small corrections fall
+            # below the per-keyframe move thresholds)
+            return n, n_sat
+        model = self._render_model(d.state.hmap, d.state.pose)
+        d.state = d.state._replace(model=model)
         return n, n_sat
 
     def _ensure_jits(self) -> None:
@@ -791,9 +892,22 @@ class KeyframeSLAM:
         cands = self.keyframes[-self.kcfg.reloc_max_candidates:]
         width = max(self.kcfg.reloc_max_candidates, 1)
         eye = np.eye(4, dtype=np.float32)
+        inits = [eye] * len(cands)
+        if self.kcfg.reloc_procrustes:
+            # closed-form Procrustes seed per candidate (ONE padded
+            # dispatch + ONE fetch): the exact rotation solve reaches
+            # basins identity-start GN cannot (tests/test_procrustes.py)
+            fn = _make_batch_procrustes(
+                self._lcam, self.config.icp,
+                self.kcfg.reloc_procrustes_rounds,
+            )
+            frames = tuple(c.frame for c in cands) + (
+                self._zero_small,
+            ) * (width - len(cands))
+            Ts0 = np.asarray(fn(small, frames))
+            inits = [Ts0[i] for i in range(len(cands))]
         Ts, errs, cnts, obs = self._run_batch(
-            "fwd", small, [c.frame for c in cands], [eye] * len(cands),
-            width,
+            "fwd", small, [c.frame for c in cands], inits, width,
         )
         passing = [
             i for i in range(len(cands))
@@ -850,8 +964,15 @@ class KeyframeSLAM:
         d = jnp.asarray(depth_raw)
         self._ensure_jits()
         self._ensure_batch_icps()
-        if self._reintegrate is None and self.mesh is None:
-            self._reintegrate = make_reintegrate(self.config)
+        if self._reintegrate is None:
+            if self.mesh is None:
+                self._reintegrate = make_reintegrate(self.config)
+            else:
+                from ..parallel import sharded as sharded_mod
+
+                self._reintegrate = sharded_mod.make_sharded_reintegrate(
+                    self.config, self.mesh
+                )
         I = jnp.eye(4, dtype=jnp.float32)
         if self.mesh is None:
             hm = hash_ops.create(self.config.hash)
@@ -870,6 +991,14 @@ class KeyframeSLAM:
         for w in widths:
             self._run_batch("fwd", small, [small], [eye], w)
             self._run_batch("rev", small, [small], [eye], w)
+        if self.kcfg.reloc_procrustes:
+            wr = max(self.kcfg.reloc_max_candidates, 1)
+            fn = _make_batch_procrustes(
+                self._lcam, self.config.icp,
+                self.kcfg.reloc_procrustes_rounds,
+            )
+            frames = (small,) + (self._zero_small,) * (wr - 1)
+            np.asarray(fn(small, frames))
         g, _ = self._run_ba()   # pure: compiles BA at current capacity
         # one scalar fetch waits for the whole compile+execute chain
         _sync = float(np.asarray(model.depth.ravel()[0]))
@@ -893,9 +1022,11 @@ class KeyframeSLAM:
         return info
 
     def flush(self) -> None:
-        """Run deferred bookkeeping for all in-flight frames."""
+        """Run deferred bookkeeping for all in-flight frames, then any
+        BA the deferral window is still holding back."""
         if self._pending:
             self._drain()
+        self._maybe_optimize(force=True)
 
     def _drain(self) -> None:
         pend = self._pending
@@ -962,8 +1093,11 @@ class KeyframeSLAM:
             # preprocess only when a keyframe is actually inserted — on
             # ordinary frames the jitted step already did it internally
             correction = self._insert_keyframe(pose_np, depth_raw)
-            if correction is not None:
-                pose_np = (correction @ pose_np).astype(np.float32)
+        else:
+            # deferred-BA age trigger can fire between inserts
+            correction = self._maybe_optimize()
+        if correction is not None:
+            pose_np = (correction @ pose_np).astype(np.float32)
         kf = self.keyframes[-1]
         rel = np.linalg.inv(self._poses_np[kf.index]) @ pose_np
         rel = rel.astype(np.float32)

@@ -666,17 +666,22 @@ def evict_stale(
     frame_idx: jnp.ndarray | int,
     max_age: int,
     max_evict: int,
-) -> Tuple[HashMap, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+) -> Tuple[HashMap, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray,
+           jnp.ndarray]:
     """Evict blocks out of the frustum for more than ``max_age`` frames:
     copy their payload out and free them.
 
     Returns (map, keys (max_evict,), tsdf (max_evict, V), weight
-    (max_evict, V), n_evicted); key EMPTY_KEY marks padding.  The host
-    moves the payload into a BlockStore (utils/blockstore.py) and restores
-    it on revisit — the out-of-core streaming the reference's fixed-size
-    GPU hash could not do (its dead deleteVoxelEntry, VoxelUtils.cu:544-604,
-    DISCARDS data; the original VoxelHashing paper's GPU<->host streaming
-    is the design this implements, recast as padded batched transfers).
+    (max_evict, V), born (max_evict,), n_evicted); key EMPTY_KEY marks
+    padding.  The host moves the payload into a BlockStore
+    (utils/blockstore.py) and restores it on revisit — the out-of-core
+    streaming the reference's fixed-size GPU hash could not do (its dead
+    deleteVoxelEntry, VoxelUtils.cu:544-604, DISCARDS data; the original
+    VoxelHashing paper's GPU<->host streaming is the design this
+    implements, recast as padded batched transfers).  ``born`` rides
+    along so a restore can reinstate the row's original allocation stamp
+    — what keeps born-gated incremental reintegration
+    (models/keyframe_slam) exact across evict/restore cycles.
 
     Unlike garbage_collect this keeps well-observed geometry: weight does
     not gate eviction, only recency does.
@@ -699,10 +704,12 @@ def evict_stale(
     out_ptrs = out_ptrs.at[out_idx].set(safe_ptr, mode="drop")[:max_evict]
     out_tsdf = hmap.tsdf[out_ptrs]                       # (max_evict, V)
     out_weight = hmap.weight[out_ptrs]
+    out_born = hmap.born[out_ptrs]
     pad = out_keys == EMPTY_KEY
     out_tsdf = jnp.where(pad[:, None], 0.0, out_tsdf)
     out_weight = jnp.where(pad[:, None], 0.0, out_weight)
-    return hmap2, out_keys, out_tsdf, out_weight, n_evict
+    out_born = jnp.where(pad, 0, out_born)
+    return hmap2, out_keys, out_tsdf, out_weight, out_born, n_evict
 
 
 def restore_blocks(
@@ -714,6 +721,7 @@ def restore_blocks(
     frame_idx: jnp.ndarray | int,
     bucket_fn=None,
     max_weight: float = 255.0,
+    born_rows: jnp.ndarray | None = None,   # (R,) original born stamps
 ) -> Tuple[HashMap, jnp.ndarray]:
     """Re-insert evicted blocks with their stored payload.
 
@@ -725,6 +733,15 @@ def restore_blocks(
     chunk streaming performs.  Returns (map, accepted (R,) bool): accepted
     keys are now fully on-device and the host must drop its copy; rejected
     ones (bucket overflow / heap exhaustion) stay in the store for retry.
+
+    ``born_rows`` reinstates each row's ORIGINAL allocation stamp (carried
+    out by evict_stale): inserted rows take it verbatim; merged rows take
+    the MIN of the stored and live stamps (the merged payload contains
+    samples from both histories, so de-integration gated at either epoch
+    must reach the row).  Without it born is stamped "now", which keeps
+    the map safe but makes frames fused before the eviction invisible to
+    the born gate — the caller must then fall back to a full rebuild
+    (models/keyframe_slam surfaces this as a ledger invalidation).
     """
     bucket_fn = bucket_fn or default_bucket_fn(cfg)
     R = keys.shape[0]
@@ -754,6 +771,11 @@ def restore_blocks(
     )
     band_min = hmap.band_min.at[m_idx].set(m_min, mode="drop")
     hmap = hmap._replace(tsdf=tsdf, weight=weight, band_min=band_min)
+    if born_rows is not None:
+        merged_born = jnp.minimum(hmap.born[m_ptr], born_rows)
+        hmap = hmap._replace(
+            born=hmap.born.at[m_idx].set(merged_born, mode="drop")
+        )
 
     # --- insert the genuinely new keys, payload following the sort ---------
     want = (keys != EMPTY_KEY) & ~found
@@ -806,10 +828,14 @@ def restore_blocks(
         jnp.where(w_sorted > 0, jnp.abs(t_sorted), jnp.inf), axis=1
     )
     band_min = hmap.band_min.at[row_idx].set(ins_min, mode="drop")
-    # restored rows carry payload fused long before this restore; born is
-    # conservatively stamped "now" (streaming maps use full rebuilds, not
-    # born-gated incremental reintegration — models/keyframe_slam)
-    born = hmap.born.at[row_idx].set(jnp.int32(frame_idx), mode="drop")
+    # inserted rows reinstate their original allocation stamp when the
+    # store carried it (exact born-gated reintegration across streaming);
+    # otherwise conservatively stamp "now"
+    if born_rows is not None:
+        born_sorted = born_rows[order]
+    else:
+        born_sorted = jnp.full((R,), jnp.int32(frame_idx))
+    born = hmap.born.at[row_idx].set(born_sorted, mode="drop")
 
     # accepted mask back in input order: inserted-now OR merged-into-existing
     ok_in = jnp.zeros((R,), dtype=bool).at[order].set(ok)

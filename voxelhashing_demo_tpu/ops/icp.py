@@ -140,10 +140,14 @@ def associate(
     cam: CameraConfig,
     cfg: ICPConfig,
     tgt_packed: jnp.ndarray | None = None,
+    with_points: bool = False,
 ):
     """Projective data association under current estimate T.
 
-    Returns (p_src_transformed, n_tgt, residual, valid_mask), each (H, W, ...).
+    Returns (p_src_transformed, n_tgt, residual, valid_mask), each (H, W, ...);
+    with ``with_points`` the matched target vertex map is appended (the
+    closed-form point-to-point consumers — geometry/procrustes — need the
+    point itself, not just the plane residual).
     ``tgt_packed`` is the loop-hoisted pack_target(tgt); pass it when
     calling repeatedly with the same target.
     """
@@ -184,6 +188,8 @@ def associate(
         & n_ok
         & (jnp.abs(r) < cfg.dist_thresh)
     )
+    if with_points:
+        return p, n_t, r, valid, p_t
     return p, n_t, r, valid
 
 

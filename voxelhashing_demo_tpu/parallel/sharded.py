@@ -509,6 +509,55 @@ def make_sharded_fuse_only(config: PipelineConfig, mesh: Mesh):
     return jax.jit(fn, donate_argnums=0)
 
 
+def make_sharded_reintegrate(config: PipelineConfig, mesh: Mesh):
+    """Sharded twin of models/keyframe_slam.make_reintegrate: born-gated
+    de-integrate at the old pose + re-integrate at the new pose of one
+    stored frame depth, each device moving only its own rows (fusion is
+    owner-local, so no collectives beyond the saturation flag).
+
+    Returns (map, count): the count is the GLOBAL max_active when ANY
+    device's visible-set compaction hit its local cap (the caller's
+    ``count >= max_active`` saturation test then fires exactly like the
+    single-chip path), else the psum of the per-device counts.
+    """
+    n = mesh.devices.size
+    lcfg = local_hash_config(config.hash, n)
+    cam = config.camera
+
+    def _local(hmap, depth_raw, T_old, T_new, frame_born):
+        frame = pre_ops.preprocess(depth_raw, cam, config.frontend)
+        a_old = hash_ops.compact_visible(hmap, lcfg, T_old, cam,
+                                         config.fusion)
+        hmap = hash_ops.integrate(
+            hmap, a_old, lcfg, frame.depth, T_old, cam, config.fusion,
+            sign=-1, max_born=jnp.int32(frame_born),
+        )
+        a_new = hash_ops.compact_visible(hmap, lcfg, T_new, cam,
+                                         config.fusion)
+        hmap = hash_ops.integrate(
+            hmap, a_new, lcfg, frame.depth, T_new, cam, config.fusion,
+            max_born=jnp.int32(frame_born),
+        )
+        local_max = jnp.maximum(a_old.count, a_new.count)
+        saturated = jax.lax.psum(
+            (local_max >= lcfg.max_active).astype(jnp.int32), AXIS
+        ) > 0
+        count = jnp.where(
+            saturated,
+            jnp.int32(config.hash.max_active),
+            jax.lax.psum(local_max, AXIS),
+        )
+        return hmap, count
+
+    fn = jax.shard_map(
+        _local,
+        mesh=mesh,
+        in_specs=(_map_spec(), P(), P(), P(), P()),
+        out_specs=(_map_spec(), P()),
+    )
+    return jax.jit(fn, donate_argnums=0)
+
+
 def make_sharded_render_model(config: PipelineConfig, mesh: Mesh):
     """Sharded surface prediction at an arbitrary pose (row-sharded model
     Frame) — refreshes tracking input after a map rebuild."""
@@ -538,16 +587,16 @@ def make_sharded_evict(config: PipelineConfig, mesh: Mesh):
     assert s.max_evict % n == 0
 
     def _local(hmap, frame_idx):
-        hmap, keys, tsdf, weight, cnt = hash_ops.evict_stale(
+        hmap, keys, tsdf, weight, born, cnt = hash_ops.evict_stale(
             hmap, lcfg, frame_idx, s.max_age, s.max_evict // n
         )
-        return hmap, keys, tsdf, weight, jax.lax.psum(cnt, AXIS)
+        return hmap, keys, tsdf, weight, born, jax.lax.psum(cnt, AXIS)
 
     fn = jax.shard_map(
         _local,
         mesh=mesh,
         in_specs=(_map_spec(), P()),
-        out_specs=(_map_spec(), P(AXIS), P(AXIS), P(AXIS), P()),
+        out_specs=(_map_spec(), P(AXIS), P(AXIS), P(AXIS), P(AXIS), P()),
     )
     return jax.jit(fn, donate_argnums=0)
 
@@ -561,7 +610,7 @@ def make_sharded_restore(config: PipelineConfig, mesh: Mesh):
     lcfg = local_hash_config(config.hash, n)
     bucket_fn = _local_bucket_fn(config.hash, n)
 
-    def _local(hmap, keys, tsdf, weight, frame_idx):
+    def _local(hmap, keys, tsdf, weight, born, frame_idx):
         my = jax.lax.axis_index(AXIS)
         blocks = coords.unpack_block_key(keys, lcfg.key_bits)
         mine = (
@@ -570,7 +619,7 @@ def make_sharded_restore(config: PipelineConfig, mesh: Mesh):
         keys_m = jnp.where(mine, keys, hash_ops.EMPTY_KEY)
         hmap, accepted = hash_ops.restore_blocks(
             hmap, lcfg, keys_m, tsdf, weight, frame_idx, bucket_fn,
-            max_weight=config.fusion.max_weight,
+            max_weight=config.fusion.max_weight, born_rows=born,
         )
         accepted = jax.lax.psum(accepted.astype(jnp.int32), AXIS) > 0
         return hmap, accepted
@@ -578,7 +627,7 @@ def make_sharded_restore(config: PipelineConfig, mesh: Mesh):
     fn = jax.shard_map(
         _local,
         mesh=mesh,
-        in_specs=(_map_spec(), P(), P(), P(), P()),
+        in_specs=(_map_spec(), P(), P(), P(), P(), P()),
         out_specs=(_map_spec(), P()),
     )
     return jax.jit(fn, donate_argnums=0)
@@ -697,9 +746,19 @@ class ShardedHashSLAM:
             pose @ vel, self.config.camera, self.config.fusion,
             s.restore_margin_px, s.max_restore,
         )
+        self._restore_keys(keys)
+
+    def _restore_keys(self, keys) -> None:
+        """Restore the given stored keys onto their owning devices;
+        shared by the streaming loop and the keyframe backend's
+        incremental reintegration (interface twin of
+        models/hash_slam.HashSLAM._restore_keys)."""
+        import numpy as np
+
+        s = self.config.stream
         if keys.size == 0:
             return
-        tsdf, weight = self.store.rows_for(keys)
+        tsdf, weight, born = self.store.rows_for(keys)
         pad = s.max_restore - keys.shape[0]
         V = self.config.hash.voxels_per_block
         keys_p = np.concatenate(
@@ -707,9 +766,11 @@ class ShardedHashSLAM:
         )
         tsdf_p = np.concatenate([tsdf, np.zeros((pad, V), np.float32)])
         weight_p = np.concatenate([weight, np.zeros((pad, V), np.float32)])
+        born_p = np.concatenate([born, np.zeros(pad, np.int32)])
         hmap, accepted = self._restore(
             self.state.hmap, jnp.asarray(keys_p), jnp.asarray(tsdf_p),
-            jnp.asarray(weight_p), self.state.frame_idx,
+            jnp.asarray(weight_p), jnp.asarray(born_p),
+            self.state.frame_idx,
         )
         self.state = self.state._replace(hmap=hmap)
         self.store.take(keys, np.asarray(accepted)[: keys.shape[0]])
@@ -720,10 +781,11 @@ class ShardedHashSLAM:
         keyframe backend's map rebuild)."""
         import numpy as np
 
-        hmap, keys, tsdf, weight, n = self._evict(hmap, frame_idx)
+        hmap, keys, tsdf, weight, born, n = self._evict(hmap, frame_idx)
         if int(n) > 0:
             store.add(
-                np.asarray(keys), np.asarray(tsdf), np.asarray(weight)
+                np.asarray(keys), np.asarray(tsdf), np.asarray(weight),
+                np.asarray(born),
             )
         return hmap
 

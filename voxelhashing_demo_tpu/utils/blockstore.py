@@ -82,6 +82,10 @@ class BlockStore:
         self._blocks = np.zeros((capacity, 3), dtype=np.int32)
         self._tsdf = np.zeros((capacity, V), dtype=np.float32)
         self._weight = np.zeros((capacity, V), dtype=np.float32)
+        # original device-row allocation stamp (frame idx): preserved
+        # across evict/restore so born-gated incremental reintegration
+        # (models/keyframe_slam) stays exact for streamed maps
+        self._born = np.zeros(capacity, dtype=np.int32)
         self._n = 0
         self._free: list[int] = []             # holes from take()
         self.total_evicted = 0
@@ -109,9 +113,11 @@ class BlockStore:
         self._blocks = grow(self._blocks, (new_cap, 3))
         self._tsdf = grow(self._tsdf, (new_cap, V))
         self._weight = grow(self._weight, (new_cap, V))
+        self._born = grow(self._born, (new_cap,))
 
     def add(
-        self, keys: np.ndarray, tsdf: np.ndarray, weight: np.ndarray
+        self, keys: np.ndarray, tsdf: np.ndarray, weight: np.ndarray,
+        born: np.ndarray | None = None,
     ) -> int:
         """Ingest an eviction batch (padded with EMPTY_KEY).  A key that is
         already stored is overwritten (the incoming copy is newer: it was
@@ -137,6 +143,7 @@ class BlockStore:
             self._blocks[row] = blocks[j]
             self._tsdf[row] = tsdf[i]
             self._weight[row] = weight[i]
+            self._born[row] = 0 if born is None else born[i]
             stored += 1
         self.total_evicted += stored
         return stored
@@ -171,9 +178,10 @@ class BlockStore:
         return self._keys[idx].astype(np.int32)
 
     def rows_for(self, keys: np.ndarray):
-        """(tsdf, weight) payload rows for the given keys (must be stored)."""
+        """(tsdf, weight, born) payload rows for the given keys (must be
+        stored)."""
         rows = np.array([self._index[int(k)] for k in keys], dtype=np.int64)
-        return self._tsdf[rows], self._weight[rows]
+        return self._tsdf[rows], self._weight[rows], self._born[rows]
 
     def take(self, keys: np.ndarray, accepted: np.ndarray) -> int:
         """Drop accepted keys (now on-device).  Returns #dropped."""
@@ -198,14 +206,17 @@ class BlockStore:
             "keys": self._keys[occ].copy(),
             "tsdf": self._tsdf[occ].copy(),
             "weight": self._weight[occ].copy(),
+            "born": self._born[occ].copy(),
         }
 
     @classmethod
     def from_arrays(
         cls, hcfg: HashConfig, keys: np.ndarray, tsdf: np.ndarray,
-        weight: np.ndarray,
+        weight: np.ndarray, born: np.ndarray | None = None,
     ) -> "BlockStore":
+        # ``born`` may be absent in pre-r4 checkpoints: default stamp 0
+        # is the conservative "oldest" epoch (see hash_ops.restore_blocks)
         store = cls(hcfg, capacity=max(4096, len(keys)))
-        store.add(keys, tsdf, weight)
+        store.add(keys, tsdf, weight, born)
         store.total_evicted = 0
         return store

@@ -131,6 +131,7 @@ def _sharded_map_to_single(
     otsdf = hmap_np["tsdf"][rows]
     oweight = hmap_np["weight"][rows]
     olast = hmap_np["last_seen"][rows]
+    oborn = hmap_np["born"][rows]
 
     out = hash_ops.create(cfg)
     C = 4096
@@ -147,9 +148,13 @@ def _sharded_map_to_single(
             [oweight[i: i + C],
              np.zeros((pad, oweight.shape[1]), np.float32)]
         )
+        b = np.concatenate(
+            [oborn[i: i + C], np.zeros(pad, np.int32)]
+        )
         out, acc = hash_ops.restore_blocks(
             out, cfg, jnp_.asarray(k), jnp_.asarray(t), jnp_.asarray(w), 0,
             max_weight=config.fusion.max_weight,
+            born_rows=jnp_.asarray(b),
         )
         if not bool(np.asarray(acc)[: C - pad].all()):
             raise ValueError(
@@ -198,6 +203,7 @@ def load_slam(
                 slam.store = BlockStore.from_arrays(
                     config.hash, z["store.keys"], z["store.tsdf"],
                     z["store.weight"],
+                    z["store.born"] if "store.born" in z else None,
                 )
             else:
                 slam.store = BlockStore(config.hash)
@@ -340,6 +346,7 @@ def load_sharded_slam(path: str, mesh=None):
                 slam.store = BlockStore.from_arrays(
                     config.hash, z["store.keys"], z["store.tsdf"],
                     z["store.weight"],
+                    z["store.born"] if "store.born" in z else None,
                 )
             else:
                 slam.store = BlockStore(config.hash)
