@@ -1,0 +1,67 @@
+"""Generate the committed PNG16 depth fixtures (tests/fixtures/kinect_png16).
+
+The reference's one shipped path consumes real 16-bit Kinect depth PNGs
+(reference: Application.cpp:28-29, ``stbi_load_16("assets/T0.png")``) —
+but its assets directory is absent from the repo, and this build
+environment has no network access to fetch TUM sequences.  These fixtures
+are the honest next-best thing: depth rendered from the analytic room
+scene and passed through the FULL physical Kinect v1 sensor model —
+z-dependent axial noise, structured-light edge shadowing, dropouts,
+flying pixels, AND 1/8-px disparity quantization (the ~1 cm banding at
+2 m real fr1 frames show) — then encoded to genuine 16-bit PNG files at
+5000 units/m through the same native codec `cli run --dataset` uses.
+tests/test_depth_fixtures.py decodes them back through the codec and
+runs the full frontend + tracking over them.
+
+Rerun this script only to regenerate the fixtures (deterministic; the
+files are committed so the test never depends on generation).
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp
+import numpy as np
+
+from voxelhashing_demo_tpu.config import CameraConfig
+from voxelhashing_demo_tpu.utils import io as io_utils
+from voxelhashing_demo_tpu.utils import synthetic
+
+OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                   "tests", "fixtures", "kinect_png16")
+N_FRAMES = 8
+# ~1.7 deg/frame = ~50 deg/s at the sensor's 30 Hz — the fast end of a
+# realistic handheld pan (TUM fr1 averages ~1-2 deg/frame)
+SWEEP_DEG = 14.0
+
+
+def main() -> None:
+    os.makedirs(OUT, exist_ok=True)
+    cam = CameraConfig()  # 640x480 TUM fr1 intrinsics, 5000 units/m
+    key = jax.random.PRNGKey(7)
+    poses = []
+    for i in range(N_FRAMES):
+        T = synthetic.room_sweep_pose(i / N_FRAMES, SWEEP_DEG)
+        clean = synthetic.render_depth(jnp.asarray(T), cam,
+                                       sdf=synthetic.room_sdf)
+        key, sub = jax.random.split(key)
+        noisy = synthetic.add_sensor_noise(clean, sub,
+                                           disparity_quant=True)
+        raw = np.asarray(synthetic.depth_to_raw(noisy, cam))
+        path = os.path.join(OUT, f"depth_{i:03d}.png")
+        io_utils.write_depth_png(path, raw)
+        poses.append(np.asarray(T))
+        print(path, os.path.getsize(path), "bytes")
+    np.savetxt(os.path.join(OUT, "poses_gt.txt"),
+               np.stack(poses).reshape(N_FRAMES, 16))
+    print("wrote", N_FRAMES, "frames to", OUT)
+
+
+if __name__ == "__main__":
+    main()

@@ -104,8 +104,12 @@ def depth_to_raw(depth_m: jnp.ndarray, cam: CameraConfig) -> jnp.ndarray:
     return jnp.round(depth_m * cam.depth_scale).astype(jnp.uint16)
 
 
-@jax.jit
-def add_sensor_noise(depth_m: jnp.ndarray, key: jnp.ndarray) -> jnp.ndarray:
+@partial(jax.jit, static_argnames=("disparity_quant",))
+def add_sensor_noise(
+    depth_m: jnp.ndarray,
+    key: jnp.ndarray,
+    disparity_quant: bool = False,
+) -> jnp.ndarray:
     """Kinect-class sensor noise on clean metric depth.
 
     The reference's entire workload is real Kinect/TUM depth (reference:
@@ -121,6 +125,13 @@ def add_sensor_noise(depth_m: jnp.ndarray, key: jnp.ndarray) -> jnp.ndarray:
       structured-light shadowing that fringes every TUM object.
     - **Random dropout** (~1 %) — dead/low-confidence pixels.
     - **Outliers** (~0.2 %): flying pixels resampled uniformly in range.
+    - **Disparity quantization** (``disparity_quant``, off by default):
+      the Kinect v1 measures disparity in 1/8-pixel steps over a 75 mm
+      baseline at fx~580, so depth is quantized to Delta z ~ z^2/348 m
+      (Khoshelham & Elberink 2012) — the characteristic ~1 cm banding at
+      2 m that real TUM fr1 frames show.  Off by default to keep the
+      established noise benchmarks comparable; the committed PNG16 depth
+      fixtures (tests/fixtures/) turn it on for full sensor statistics.
     - Quantization to uint16 / 5000 happens in ``depth_to_raw`` as before.
 
     Returns metric depth with 0 = invalid.  Deterministic in ``key``.
@@ -154,6 +165,12 @@ def add_sensor_noise(depth_m: jnp.ndarray, key: jnp.ndarray) -> jnp.ndarray:
     u_out = jax.random.uniform(k_out, z.shape)
     z_out = jax.random.uniform(k_outz, z.shape, minval=0.4, maxval=4.0)
     z = jnp.where(u_out < p_outlier, z_out, z)
+
+    if disparity_quant:
+        # disparity d = 8*b*f/z in 1/8-px units; round and invert
+        bf8 = 8.0 * 0.075 * 580.0
+        d8 = jnp.round(bf8 / jnp.maximum(z, 1e-3))
+        z = jnp.where(z > 0, bf8 / jnp.maximum(d8, 1.0), z)
 
     return jnp.where(valid & ~drop, jnp.maximum(z, 0.0), 0.0)
 
