@@ -14,9 +14,22 @@ import sys
 # still read at (lazy) backend init, so setting it here works.
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+if "xla_cpu_parallel_codegen_split_count" not in flags:
+    # XLA:CPU's parallel codegen has segfaulted sporadically deep into
+    # long full-suite processes on this 2-vCPU host (always inside
+    # backend_compile of a shard_map program, never reproducible
+    # standalone).  Serial codegen removes the raced path; compile time
+    # impact on the tiny test programs is negligible.
+    flags = (flags + " --xla_cpu_parallel_codegen_split_count=1").strip()
+os.environ["XLA_FLAGS"] = flags
+
+# No persistent compile cache under tests: concurrent processes sharing
+# the cache dir (a background suite + foreground experiments) have been
+# observed to SIGSEGV/SIGABRT inside jax's cache deserialization on the
+# virtual multi-device platform.  CPU test compiles are cheap; the cache
+# stays on for single-process TPU runs (bench, CLI) where it matters.
+os.environ.setdefault("VOXELHASHING_NO_COMPILE_CACHE", "1")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -33,3 +46,34 @@ def tiny_cfg():
     from voxelhashing_demo_tpu.config import tiny_config
 
     return tiny_config()
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _bound_live_executables():
+    """Release compiled executables between test modules.
+
+    The jit factories are config-memoized (lru_cache) so same-config
+    instances share compiles — but across the whole suite that
+    accumulates every module's executables in one process, and XLA:CPU
+    has segfaulted sporadically inside late compiles once hundreds of
+    executables were live (always in the sharded tests ~75% through the
+    suite, never standalone).  Clearing the factory caches and jax's
+    executable caches at module boundaries bounds the live set while
+    keeping within-module sharing."""
+    yield
+    from voxelhashing_demo_tpu.models import hash_slam, keyframe_slam
+
+    for f in (
+        hash_slam.make_step,
+        hash_slam.make_scan_step,
+        hash_slam.make_evict,
+        hash_slam.make_restore,
+        keyframe_slam.make_fuse_only,
+        keyframe_slam.make_reintegrate,
+        keyframe_slam.make_render_model,
+        keyframe_slam._make_batch_icps,
+        keyframe_slam._make_kf_pre,
+        keyframe_slam._make_batch_procrustes,
+    ):
+        f.cache_clear()
+    jax.clear_caches()
