@@ -36,14 +36,14 @@ N = 8
 
 
 def _load_all():
-    frames = [
-        io_utils.read_depth_png(os.path.join(FIX, f"depth_{i:03d}.png"))
-        for i in range(N)
-    ]
-    poses = np.loadtxt(os.path.join(FIX, "poses_gt.txt")).reshape(
-        N, 4, 4
-    ).astype(np.float32)
-    return frames, poses
+    """Load through the TUM dataset layer (timestamp association + the
+    native threaded batch decoder) — the same path `run --dataset` uses."""
+    from voxelhashing_demo_tpu.utils import tum
+
+    seq = tum.TUMSequence(FIX)
+    assert len(seq) == N
+    frames, poses = seq.load_all(640, 480)
+    return list(frames), [np.asarray(p, np.float32) for p in poses]
 
 
 def test_fixture_decode_and_sensor_statistics():
@@ -63,7 +63,7 @@ def test_fixture_decode_and_sensor_statistics():
         # hundreds)
         assert len(np.unique(band)) < 80, len(np.unique(band))
     # native and pure-python decoders agree bit-for-bit when both exist
-    p = os.path.join(FIX, "depth_000.png")
+    p = os.path.join(FIX, "depth", "0.000000.png")
     py = io_utils.read_depth_png(p, native=False)
     np.testing.assert_array_equal(frames[0], py)
 

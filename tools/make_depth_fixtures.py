@@ -42,10 +42,12 @@ SWEEP_DEG = 14.0
 
 
 def main() -> None:
+    from voxelhashing_demo_tpu.utils import tum
+
     os.makedirs(OUT, exist_ok=True)
     cam = CameraConfig()  # 640x480 TUM fr1 intrinsics, 5000 units/m
     key = jax.random.PRNGKey(7)
-    poses = []
+    poses, raws = [], []
     for i in range(N_FRAMES):
         T = synthetic.room_sweep_pose(i / N_FRAMES, SWEEP_DEG)
         clean = synthetic.render_depth(jnp.asarray(T), cam,
@@ -53,13 +55,12 @@ def main() -> None:
         key, sub = jax.random.split(key)
         noisy = synthetic.add_sensor_noise(clean, sub,
                                            disparity_quant=True)
-        raw = np.asarray(synthetic.depth_to_raw(noisy, cam))
-        path = os.path.join(OUT, f"depth_{i:03d}.png")
-        io_utils.write_depth_png(path, raw)
+        raws.append(np.asarray(synthetic.depth_to_raw(noisy, cam)))
         poses.append(np.asarray(T))
-        print(path, os.path.getsize(path), "bytes")
-    np.savetxt(os.path.join(OUT, "poses_gt.txt"),
-               np.stack(poses).reshape(N_FRAMES, 16))
+    # standard TUM layout (depth/ + depth.txt + groundtruth.txt) through
+    # the native codec, so the fixtures exercise the same dataset path
+    # `cli run --dataset` uses
+    tum.export_sequence(OUT, raws, poses)
     print("wrote", N_FRAMES, "frames to", OUT)
 
 
