@@ -72,3 +72,17 @@ def test_batch_decode_rejects_wrong_size(tum_dir):
     with pytest.raises(ValueError):
         depth_io.read_depth_batch(paths, cfg.camera.width * 2,
                                   cfg.camera.height * 2)
+
+
+def test_stream_close_stops_abandoned_producer(tum_dir):
+    """Abandoning a partially consumed pipeline must not leave the
+    producer thread blocked on the full queue forever (the leaked
+    threads visible in earlier crash dumps); close() stops it."""
+    root, cfg, _, _ = tum_dir
+    pipe, _ = stream.stream_tum(
+        root, cfg.camera.width, cfg.camera.height, prefetch=1
+    )
+    it = iter(pipe)
+    next(it)                      # consume one; producer blocks on put
+    pipe.close()
+    assert not pipe._thread.is_alive()

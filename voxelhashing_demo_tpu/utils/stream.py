@@ -49,23 +49,60 @@ class FramePipeline:
         self.device = device or jax.devices()[0]
         self._q: queue.Queue = queue.Queue(maxsize=max(1, prefetch))
         self._err: Optional[BaseException] = None
+        self._stop = threading.Event()
         self._thread = threading.Thread(target=self._produce, daemon=True)
         self._thread.start()
 
     def _produce(self) -> None:
         try:
             for start in range(0, len(self.paths), self.decode_batch):
+                if self._stop.is_set():
+                    return
                 chunk = self.paths[start : start + self.decode_batch]
                 batch = depth_io.read_depth_batch(
                     chunk, self.width, self.height
                 )
                 for img in batch:
-                    # stage onto the device while the consumer computes
-                    self._q.put(jax.device_put(img, self.device))
+                    # stage onto the device while the consumer computes;
+                    # poll the stop flag so an abandoned consumer doesn't
+                    # leave this thread blocked on a full queue forever
+                    staged = jax.device_put(img, self.device)
+                    while not self._stop.is_set():
+                        try:
+                            self._q.put(staged, timeout=0.2)
+                            break
+                        except queue.Full:
+                            continue
+                    if self._stop.is_set():
+                        return
         except BaseException as e:  # surface in the consumer thread
             self._err = e
         finally:
-            self._q.put(_SENTINEL)
+            # deliver the sentinel unless the pipeline was closed (a
+            # dropped sentinel would hang a live consumer forever)
+            while not self._stop.is_set():
+                try:
+                    self._q.put(_SENTINEL, timeout=0.2)
+                    break
+                except queue.Full:
+                    continue
+
+    def close(self) -> None:
+        """Stop the producer and release queued frames (safe to call on a
+        partially consumed pipeline; iteration ends after this)."""
+        self._stop.set()
+        try:
+            while True:
+                self._q.get_nowait()
+        except queue.Empty:
+            pass
+        self._thread.join(timeout=5.0)
+
+    def __del__(self):  # best-effort: don't leak a blocked producer
+        try:
+            self._stop.set()
+        except Exception:
+            pass
 
     def __iter__(self) -> Iterator:
         while True:
