@@ -171,17 +171,25 @@ def _make_batch_icps(lcam, icp_config, loop_icp_max_iters: int):
 
 @functools.lru_cache(maxsize=None)
 def _make_batch_procrustes(lcam, icp_config, rounds: int):
-    """Vmapped closed-form Procrustes initializer over a padded candidate
-    batch (one dispatch for all relocalization candidates).  Zero-pad
-    frames solve to identity (total weight 0)."""
+    """Closed-form Procrustes initializer over a padded candidate batch
+    (one dispatch for all relocalization candidates).  Zero-pad frames
+    solve to identity (total weight 0).
+
+    The candidate axis runs as ``lax.map`` with batch_size 4, NOT one
+    wide vmap: the TPU compiler's fusion emitter SIGABRTs on the
+    16-candidate x 7-yaw-lane fused program (``Check failed:
+    window.window_bounds[i] == window.strides[i]``, measured: width 16
+    crashes, width 4 compiles — BENCH_NOTES r4), and a compile crash in
+    the relocalizer would kill the run exactly when tracking is lost."""
     from ..geometry import procrustes as proc
 
     def inits(src, frames):
         stackf = jax.tree.map(lambda *xs: jnp.stack(xs), *frames)
-        return jax.vmap(
+        return jax.lax.map(
             lambda t: proc.procrustes_init_raced(src, t, lcam, icp_config,
-                                                 rounds=rounds)
-        )(stackf)
+                                                 rounds=rounds),
+            stackf, batch_size=4,
+        )
 
     return jax.jit(inits)
 
