@@ -352,6 +352,15 @@ class KeyframeConfig:
     rebuild_incremental: bool = True
     rebuild_move_min_trans: float = 0.005   # keyframe "moved" thresholds
     rebuild_move_min_rot_deg: float = 0.25
+    # cost-based rebuild choice: one incremental ledger move (born-gated
+    # de-integrate + re-integrate) costs ~this many times one
+    # full-rebuild keyframe fuse (measured ~5x on the tunnel: ~31 ms vs
+    # ~6 ms — BENCH_NOTES r4).  When a correction moves so much of the
+    # ledger that moved * cost > num_keyframes, a fresh full rebuild is
+    # cheaper AND re-bases the ring.  0 = always take the incremental
+    # path when the ledger is valid (the conservative default; the
+    # flagship config sets the measured ratio).
+    rebuild_incremental_cost: float = 0.0
     # contribution-ledger window: every frame fused since the last FULL
     # rebuild is remembered (device depth + fused pose) so incremental
     # corrections can move its TSDF contribution exactly; if more than

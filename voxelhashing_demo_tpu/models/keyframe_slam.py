@@ -638,6 +638,9 @@ class KeyframeSLAM:
         correction instead of benefiting from it.  Returns the correction
         (numpy) so a pending drain can retro-apply it to in-flight
         frames."""
+        import time as _time
+
+        t0 = _time.perf_counter()
         last_idx = self.keyframes[-1].index
         old_poses = self._poses_np[: self._n_poses].copy()
         old_last = old_poses[last_idx]
@@ -646,6 +649,7 @@ class KeyframeSLAM:
         self._poses_np[: self._n_poses] = np.asarray(
             self.graph.poses[: self._n_poses]
         )
+        t_ba = _time.perf_counter() - t0
         new_last = self._poses_np[last_idx]
         correction = new_last @ np.linalg.inv(old_last)
         self._apply_correction(jnp.asarray(correction, dtype=jnp.float32))
@@ -655,15 +659,27 @@ class KeyframeSLAM:
         rebuilt = False
         mode = None
         n_reint = 0
+        t1 = _time.perf_counter()
         if self.kcfg.rebuild_map and (
             trans > self.kcfg.rebuild_min_trans
             or rot > self.kcfg.rebuild_min_rot_deg
         ):
-            if (
+            use_incremental = (
                 self.kcfg.rebuild_incremental
                 and self._map_ledgered
                 and not self._ring_overflow
-            ):
+            )
+            if use_incremental and self.kcfg.rebuild_incremental_cost > 0:
+                # cost-based choice: a correction that moves most of the
+                # ledger resolves cheaper as a fresh rebuild (one fuse
+                # per keyframe) than as per-entry de/re-integration
+                moved = self._count_moved()
+                if (
+                    moved * self.kcfg.rebuild_incremental_cost
+                    > max(len(self.keyframes), 1)
+                ):
+                    use_incremental = False
+            if use_incremental:
                 n_reint, n_sat = self._incremental_reintegrate()
                 mode = "incremental"
             else:
@@ -685,6 +701,10 @@ class KeyframeSLAM:
             "map_rebuilt": rebuilt,
             "rebuild_mode": mode,
             "keyframes_reintegrated": n_reint,
+            # host wall-clock of the solve+fetch and of the map update —
+            # the endurance regime's hitch budget lives here
+            "ba_s": round(t_ba, 4),
+            "rebuild_s": round(_time.perf_counter() - t1, 4),
         }
         if n_sat:
             # frustum visible-set saturation during de/re-integration:
@@ -694,6 +714,22 @@ class KeyframeSLAM:
             event["reintegration_saturated"] = n_sat
         self.ba_events.append(event)
         return correction
+
+    def _count_moved(self) -> int:
+        """How many ledger entries (keyframes + ring frames) the current
+        graph poses would move — the incremental path's dispatch count,
+        host-side only (feeds the cost-based rebuild choice)."""
+        new_poses = self._poses_np
+        n = 0
+        for rec in self.keyframes:
+            if rec.map_pose is not None and self._moved(
+                rec.map_pose, new_poses[rec.index]
+            ):
+                n += 1
+        for ent in self._ring:
+            if self._moved(ent.map_pose, new_poses[ent.kf] @ ent.rel):
+                n += 1
+        return n
 
     def _moved(self, a: np.ndarray, b: np.ndarray) -> bool:
         delta = np.linalg.inv(a) @ b
