@@ -281,6 +281,16 @@ class KeyframeConfig:
     # wait for a full batch); pending BA always runs at flush().
     ba_defer_edges: int = 1
     ba_defer_frames: int = 0
+    # asynchronous BA: dispatch the solve without fetching and complete
+    # it at the NEXT host sync batch (_drain), where the pose fetch it
+    # needs piggybacks on the drain's existing pipeline sync — one BA
+    # run's ~0.5 s wall-clock (measured: pipeline-drain + RTT, the solve
+    # itself is ms) overlaps tracking instead of stalling it.  The
+    # correction lands <= sync_every frames later than the synchronous
+    # path (same class of latency the deferral window already accepts);
+    # keyframes inserted while the solve is in flight are re-based by
+    # the completion correction.  flush() always completes synchronously.
+    ba_async: bool = False
     # IRLS robust kernel on the per-edge se(3) residual norm (meters +
     # radians mixed); delta 0 = off.  Bounds (kernel "huber") or
     # essentially eliminates (kernel "gm", Geman-McClure, default) the

@@ -324,6 +324,9 @@ class KeyframeSLAM:
         # optimizer (one solve + one reintegration pass for the burst)
         self._pending_ba_edges = 0
         self._pending_ba_since = 0
+        # in-flight async BA (kcfg.ba_async): dispatched solve awaiting
+        # completion at the next drain
+        self._ba_inflight = None
         self._poses_np = np.broadcast_to(
             np.eye(4, dtype=np.float32),
             (self.graph.poses.shape[0], 4, 4),
@@ -614,10 +617,17 @@ class KeyframeSLAM:
     def _maybe_optimize(self, force: bool = False):
         """Run BA if the deferral trigger fires (kcfg.ba_defer_edges
         accepted closures accumulated, or the oldest pending one waited
-        kcfg.ba_defer_frames frames, or ``force``).  Returns the applied
-        correction (numpy) or None."""
+        kcfg.ba_defer_frames frames, or ``force``).  With kcfg.ba_async
+        the solve is dispatched here and completed at the next drain;
+        while one is in flight new triggers wait (pending edges keep
+        accumulating).  Returns the applied correction (numpy) or None."""
+        corr = None
+        if self._ba_inflight is not None:
+            if not force:
+                return None
+            corr = self._complete_ba()
         if self._pending_ba_edges <= 0:
-            return None
+            return corr
         waited = self._frame_idx - self._pending_ba_since
         if not (
             force
@@ -625,9 +635,15 @@ class KeyframeSLAM:
             or (self.kcfg.ba_defer_frames > 0
                 and waited >= self.kcfg.ba_defer_frames)
         ):
-            return None
+            return corr
         self._pending_ba_edges = 0
-        return self._optimize()
+        if self.kcfg.ba_async and not force:
+            self._dispatch_ba()
+            return corr
+        c2 = self._optimize()
+        if corr is None:
+            return c2
+        return (c2 @ corr).astype(np.float32) if c2 is not None else corr
 
     def _optimize(self) -> np.ndarray:
         """Run BA, propagate the last-keyframe correction to the live
@@ -642,8 +658,7 @@ class KeyframeSLAM:
 
         t0 = _time.perf_counter()
         last_idx = self.keyframes[-1].index
-        old_poses = self._poses_np[: self._n_poses].copy()
-        old_last = old_poses[last_idx]
+        old_last = self._poses_np[last_idx].copy()
         self.graph, info = self._run_ba()
         # refresh the host mirror from the optimized device graph
         self._poses_np[: self._n_poses] = np.asarray(
@@ -651,8 +666,60 @@ class KeyframeSLAM:
         )
         t_ba = _time.perf_counter() - t0
         new_last = self._poses_np[last_idx]
-        correction = new_last @ np.linalg.inv(old_last)
-        self._apply_correction(jnp.asarray(correction, dtype=jnp.float32))
+        correction = (new_last @ np.linalg.inv(old_last)).astype(np.float32)
+        self._apply_correction(jnp.asarray(correction))
+        return self._post_ba(correction, info, last_idx, t_ba)
+
+    def _dispatch_ba(self) -> None:
+        """Async BA (kcfg.ba_async): dispatch the solve WITHOUT fetching
+        — the optimized graph arrays stay in flight on the device while
+        tracking continues; ``_complete_ba`` lands the correction at the
+        next drain, where the pose fetch piggybacks on the batch sync.
+        Poses/edges appended while in flight sit at rows >= n0 of the
+        (already optimized) graph and are re-based on completion."""
+        import time as _time
+
+        last_idx = self.keyframes[-1].index
+        old_last = self._poses_np[last_idx].copy()
+        n0 = self._n_poses
+        self.graph, info = self._run_ba()
+        self._ba_inflight = {
+            "info": info, "n0": n0, "last_idx": last_idx,
+            "old_last": old_last, "t0": _time.perf_counter(),
+        }
+
+    def _complete_ba(self) -> np.ndarray:
+        """Fetch the in-flight solve, merge (optimized rows < n0, re-based
+        rows appended since), propagate the correction, resolve the map."""
+        import time as _time
+
+        fl = self._ba_inflight
+        self._ba_inflight = None
+        n0 = fl["n0"]
+        opt = np.asarray(self.graph.poses[: self._n_poses])
+        t_ba = _time.perf_counter() - fl["t0"]
+        new_last = opt[fl["last_idx"]]
+        correction = (
+            new_last @ np.linalg.inv(fl["old_last"])
+        ).astype(np.float32)
+        self._poses_np[: n0] = opt[:n0]
+        for i in range(n0, self._n_poses):
+            self._poses_np[i] = (
+                correction @ self._poses_np[i]
+            ).astype(np.float32)
+        if self._n_poses > n0:
+            # push the re-based appended rows back to the device graph
+            # (padding rows in the mirror are identity, matching create)
+            self.graph = self.graph._replace(
+                poses=jnp.asarray(self._poses_np)
+            )
+        self._apply_correction(jnp.asarray(correction))
+        return self._post_ba(correction, fl["info"], fl["last_idx"], t_ba)
+
+    def _post_ba(self, correction, info, last_idx, t_ba) -> np.ndarray:
+        """Shared post-solve tail: map resolution (cost-based full vs
+        incremental) + the BA event record."""
+        import time as _time
 
         trans = float(np.linalg.norm(correction[:3, 3]))
         rot = _rot_deg_np(correction)
@@ -690,12 +757,15 @@ class KeyframeSLAM:
         else:
             n_sat = 0
 
+        chi2 = np.asarray(jnp.stack([info.chi2_initial, info.chi2_final]))
         event = {
             "frame": self._frame_idx,
             "keyframes": last_idx + 1,
             "edges": self._n_edges,
-            "chi2_initial": float(info.chi2_initial),
-            "chi2_final": float(info.chi2_final),
+            # ONE stacked transfer (two separate float() fetches cost a
+            # tunnel RTT each)
+            "chi2_initial": float(chi2[0]),
+            "chi2_final": float(chi2[1]),
             "correction_trans_m": trans,
             "correction_rot_deg": rot,
             "map_rebuilt": rebuilt,
@@ -1095,6 +1165,11 @@ class KeyframeSLAM:
         frame0 = self._frame_idx - len(pend)
         saved = self._frame_idx
         corr = None   # correction accumulated within this batch
+        if self._ba_inflight is not None:
+            # async BA completion: the batch fetch above already drained
+            # the pipeline, so the solve is done and its pose fetch is
+            # cheap; its correction retro-applies to this whole batch
+            corr = self._complete_ba()
         try:
             for b, (d, info, epoch) in enumerate(pend):
                 raw_pose = arr[b, :16].reshape(4, 4).astype(np.float32)
