@@ -293,6 +293,57 @@ def _backend_run(config, hash_slam, synthetic, metrics, num_frames=400,
     return out
 
 
+def _streaming_run(config, hash_slam, synthetic, metrics, num_frames=200):
+    """Beyond-capacity streaming regime (BASELINE config-5): an
+    out-and-back pan whose geometry is ~1.5x a deliberately small
+    (2048-block) device map, so eviction and restore stay active the
+    whole run and the way back re-restores everything evicted on the way
+    out.  On the tunnel this is transfer-floor bound (D2H ~5 ms floor,
+    H2D hundreds of ms per upload — BENCH_NOTES r3); on a
+    locally-attached chip the same cadence costs ~nothing."""
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        config,
+        hash=dataclasses.replace(
+            config.hash, num_buckets=8192, bucket_size=4, num_blocks=2048,
+            max_active=2048, max_new_per_frame=2048,
+        ),
+        stream=dataclasses.replace(
+            config.stream, enabled=True, interval=8, max_age=16,
+            max_evict=2048, max_restore=2048,
+        ),
+    )
+    cam = cfg.camera
+    half = num_frames // 2 + 1
+    fwd, gt_f = synthetic.make_room_sweep(
+        cam, half, sweep_deg=170.0, noise_seed=1
+    )
+    depths = [jnp.asarray(d) for d in fwd + fwd[-2::-1]]
+    gt = gt_f + gt_f[-2::-1]
+    n = len(depths)
+
+    slam = hash_slam.HashSLAM(cfg)
+    info = slam.process(depths[0])
+    _sync(info.icp_error)
+    t0 = time.perf_counter()
+    for d in depths[1:]:
+        info = slam.process(d)
+    _sync(info.icp_error)
+    fps = (n - 1) / (time.perf_counter() - t0)
+    ate = metrics.ate_rmse(slam.trajectory, gt, align=False)
+    return {
+        "fps": round(fps, 3),
+        "frames": n,
+        "ate_rmse_m": round(float(ate), 5),
+        "tracked": sum(bool(i.tracked) for i in slam.infos),
+        "device_blocks": cfg.hash.num_blocks,
+        "evicted": slam.store.total_evicted,
+        "restored": slam.store.total_restored,
+        "store_blocks_final": len(slam.store),
+    }
+
+
 def _stage_breakdown(config, hash_slam, synthetic, frames=24, reps=20):
     """Per-stage device times at a mid-sweep state (the roofline's
     denominator; see tools/profile_stages.py for the full picture)."""
@@ -376,6 +427,7 @@ def main():
     endurance = _backend_run(config, hash_slam, synthetic, metrics,
                              num_frames=800, sweep_deg=720.0,
                              warm_frames=0, frontend_baseline=False)
+    streaming = _streaming_run(config, hash_slam, synthetic, metrics)
     stages = _stage_breakdown(config, hash_slam, synthetic)
     # HEADLINE = the full system WITH the keyframe backend active (loop
     # closure + BA + map reintegration on the 400-frame closed sweep) —
@@ -397,6 +449,7 @@ def main():
             "long_run": long_run,
             "keyframe_backend": backend,
             "endurance_two_lap": endurance,
+            "streaming_beyond_capacity": streaming,
             "steady_state_fps": round(steady, 3),
             "stages": stages,
         },

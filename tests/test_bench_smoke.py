@@ -57,6 +57,9 @@ def test_backend_run_and_stages():
     out = bench._backend_run(CFG, hash_slam, synthetic, metrics,
                              num_frames=10, warm_frames=4)
     assert out["fps"] > 0 and out["keyframes"] >= 1
+    st = bench._streaming_run(CFG, hash_slam, synthetic, metrics,
+                              num_frames=8)
+    assert st["fps"] > 0 and st["frames"] == 9
     stages = bench._stage_breakdown(CFG, hash_slam, synthetic,
                                     frames=6, reps=2)
     assert set(stages) == {"preprocess_ms", "icp_ms", "fuse_ms",
