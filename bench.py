@@ -323,6 +323,16 @@ def _streaming_run(config, hash_slam, synthetic, metrics, num_frames=200):
     gt = gt_f + gt_f[-2::-1]
     n = len(depths)
 
+    # warm pass on a throwaway instance: the evict/restore jits compile
+    # on their FIRST use mid-sequence (cold compiles are seconds on the
+    # tunnel and belong off the clock); a mini out-and-back triggers both
+    warm = hash_slam.HashSLAM(cfg)
+    wmini = depths[:16] + depths[:16][-2::-1]
+    for d in wmini:
+        warm.process(d)
+    _sync(warm.infos[-1].icp_error)
+    del warm
+
     slam = hash_slam.HashSLAM(cfg)
     info = slam.process(depths[0])
     _sync(info.icp_error)
