@@ -16,10 +16,13 @@ The headline number is the HONEST one: the full system with the keyframe
 backend active (loop closure + BA + map reintegration) on a 400-frame
 closed-loop Kinect-noise sweep.  ``value_frontend_only`` is the 200-frame
 growing-map frontend sweep, and ``vs_baseline`` gates on the WORSE of the
-two so neither regression can hide.  ``detail`` carries the steady-state
-number (the old flattering metric, for continuity), map growth, tracking
-quality, and a per-stage breakdown.  ``python bench.py --quick`` runs
-only the steady-state loop.
+two so neither regression can hide.  ``detail`` additionally carries the
+two-lap continuous-closure ENDURANCE run (BA + reintegration on almost
+every insert), the beyond-capacity STREAMING regime (evict/restore
+active throughout), the steady-state number (the old flattering metric,
+for continuity), map growth, tracking quality, and a per-stage
+breakdown.  ``python bench.py --quick`` runs only the steady-state
+loop.
 """
 
 import json
