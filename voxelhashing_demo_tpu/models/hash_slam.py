@@ -242,8 +242,10 @@ def make_restore(config: PipelineConfig, batch: int):
     re-inserts stored blocks with their payload; returns (map, accepted).
     Compiled per power-of-two bucket so a handful of restored blocks does
     not cost a full max_restore-sized host->device transfer, and the
-    whole batch arrives as ONE packed array [keys-bits | tsdf | weight]
-    — each separate host->device upload pays a fixed tunnel cost."""
+    whole batch arrives as ONE packed array
+    [keys-bits | tsdf | weight | born] — each separate host->device
+    upload pays a fixed tunnel cost.  ``born`` restores each row's
+    original allocation stamp (exact de-integration across streaming)."""
     V = config.hash.voxels_per_block
 
     def restore(hmap, packed, frame_idx):
