@@ -241,6 +241,10 @@ def test_bucket_helper():
     assert _bucket(100, 2048) == 128
     assert _bucket(2048, 2048) == 2048
     assert _bucket(5000, 2048) == 2048  # capped
+    # floor bounds the number of distinct jit shapes (restore path)
+    assert _bucket(3, 2048, floor=256) == 256
+    assert _bucket(300, 2048, floor=256) == 512
+    assert _bucket(10, 64, floor=256) == 64  # cap wins over floor
 
 
 def test_packed_restore_roundtrip(tiny_cfg):

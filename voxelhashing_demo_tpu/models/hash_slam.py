@@ -261,9 +261,15 @@ def make_restore(config: PipelineConfig, batch: int):
     return jax.jit(restore, donate_argnums=0)
 
 
-def _bucket(n: int, cap: int) -> int:
-    """Smallest power of two >= n, capped."""
-    b = 1
+def _bucket(n: int, cap: int, floor: int = 1) -> int:
+    """Smallest power of two >= n, floored and capped.
+
+    The floor bounds how many distinct batch shapes (= jit compiles) a
+    run can produce: measured on the tunnel, a host->device upload costs
+    hundreds of ms REGARDLESS of size, so padding a restore batch up to
+    256 rows is free while each extra bucket shape costs a mid-run
+    compile (seconds even when the persistent cache hits)."""
+    b = max(1, floor)
     while b < n:
         b *= 2
     return min(b, cap)
@@ -334,8 +340,8 @@ class HashSLAM:
         tsdf, weight, born = self.store.rows_for(keys)
         # pad only to the bucket size (uploading the full max_restore
         # padding cost ~8 MB host->device per cycle) and pack keys +
-        # payload into ONE upload
-        b = _bucket(keys.shape[0], s.max_restore)
+        # payload into ONE upload; the 256 floor bounds compile variety
+        b = _bucket(keys.shape[0], s.max_restore, floor=256)
         from ..geometry.coords import EMPTY_KEY
 
         V = self.config.hash.voxels_per_block
