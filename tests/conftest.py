@@ -61,19 +61,6 @@ def _bound_live_executables():
     executable caches at module boundaries bounds the live set while
     keeping within-module sharing."""
     yield
-    from voxelhashing_demo_tpu.models import hash_slam, keyframe_slam
+    import voxelhashing_demo_tpu
 
-    for f in (
-        hash_slam.make_step,
-        hash_slam.make_scan_step,
-        hash_slam.make_evict,
-        hash_slam.make_restore,
-        keyframe_slam.make_fuse_only,
-        keyframe_slam.make_reintegrate,
-        keyframe_slam.make_render_model,
-        keyframe_slam._make_batch_icps,
-        keyframe_slam._make_kf_pre,
-        keyframe_slam._make_batch_procrustes,
-    ):
-        f.cache_clear()
-    jax.clear_caches()
+    voxelhashing_demo_tpu.release_compiled()

@@ -59,4 +59,37 @@ if _os.environ.get("VOXELHASHING_NO_COMPILE_CACHE") in (None, "", "0"):
 from . import config
 from .config import PipelineConfig, tiny_config
 
+
+def release_compiled() -> None:
+    """Drop every config-memoized jit factory cache and jax's live
+    executable caches.
+
+    The jit factories (``models.hash_slam.make_step`` & co.) are
+    ``lru_cache``-memoized on the frozen config so same-config instances
+    share compiles — which also makes every compiled executable immortal
+    for the life of the process.  Long-lived processes that churn many
+    configs (sweeps, notebooks) should call this at config boundaries:
+    XLA:CPU has segfaulted sporadically once hundreds of live
+    executables accumulated in one process (see tests/conftest.py, which
+    calls this at module boundaries).  Safe to call at any quiescent
+    point; the next use recompiles (or hits the persistent on-disk
+    cache)."""
+    from .models import hash_slam, keyframe_slam
+
+    for f in (
+        hash_slam.make_step,
+        hash_slam.make_scan_step,
+        hash_slam.make_evict,
+        hash_slam.make_restore,
+        keyframe_slam.make_fuse_only,
+        keyframe_slam.make_reintegrate,
+        keyframe_slam.make_render_model,
+        keyframe_slam._make_batch_icps,
+        keyframe_slam._make_kf_pre,
+        keyframe_slam._make_batch_procrustes,
+    ):
+        f.cache_clear()
+    _jax.clear_caches()
+
+
 __version__ = "0.1.0"

@@ -825,7 +825,12 @@ class KeyframeSLAM:
         host store, so they are restored (with their ORIGINAL born
         stamps, which evict/restore preserve) for both the old and new
         frustums before the move; store rows that could not be restored
-        (device capacity) count as saturations, never silent."""
+        (device capacity) count as saturations, never silent.  Across
+        streaming the move is exact up to the born-stamp residency
+        caveat (a frame that overlooked an off-device, un-allocatable
+        block still passes the born gate after restore — see
+        ops/hash_ops.restore_blocks); strict exactness comes from a
+        full rebuild."""
         new_poses = self._poses_np
         self._ensure_jits()
         if self._reintegrate is None:
@@ -957,6 +962,9 @@ class KeyframeSLAM:
         if streaming:
             from ..utils.blockstore import BlockStore
 
+            # quiesce the driver's pipelined streaming cycle first: an
+            # in-flight prefetch/evicted payload references the OLD store
+            self._driver.stream_sync()
             new_store = BlockStore(self.config.hash)
         for rec in self.keyframes:
             d = (rec.depth_dev if rec.depth_dev is not None
@@ -984,7 +992,7 @@ class KeyframeSLAM:
 
     # -- tracking-lost recovery ----------------------------------------------
 
-    def _relocalize(self, depth_raw):
+    def _relocalize(self, depth_raw, valid_px=None):
         """Re-register the live frame against stored keyframes and reset
         the live pose to the best match passing the loop acceptance gates;
         returns the recovered pose (numpy) or None.
@@ -1000,8 +1008,20 @@ class KeyframeSLAM:
         reset and the model is re-rendered there so the next frame tracks
         normally."""
         self._ensure_batch_icps()
+        # blackout gate: nothing to register on a (near-)empty frame.
+        # ``valid_px`` (full-res count, from the batched drain fetch —
+        # VERDICT r4 weak 7) replaces the per-attempt device fetch; the
+        # downsampled count is ~valid_px/f^2, and for a blackout gate the
+        # uniform-validity approximation is exact where it matters
+        # (valid_px ~ 0).  Callers without the batched count (None) pay
+        # the legacy fetch.
+        f = self.kcfg.icp_downsample
         small = self._kf_pre(jnp.asarray(depth_raw))
-        if int(jnp.sum(small.depth > 0)) < self.kcfg.min_loop_inliers:
+        if valid_px is None:
+            valid_small = int(jnp.sum(small.depth > 0))
+        else:
+            valid_small = valid_px // (f * f)
+        if valid_small < self.kcfg.min_loop_inliers:
             return None   # blackout frame: nothing to register
         cands = self.keyframes[-self.kcfg.reloc_max_candidates:]
         width = max(self.kcfg.reloc_max_candidates, 1)
@@ -1148,11 +1168,12 @@ class KeyframeSLAM:
         # ONE jitted pack + ONE host fetch for the whole batch (eager
         # stacking costs ~2 dispatches per pending frame on the tunnel)
         if self._pack_drain is None:
-            def _pack(poses, tracked):
+            def _pack(poses, tracked, valid_px):
                 return jnp.concatenate(
                     [
                         jnp.stack(poses).reshape(len(poses), 16),
                         jnp.stack(tracked).astype(jnp.float32)[:, None],
+                        jnp.stack(valid_px).astype(jnp.float32)[:, None],
                     ],
                     axis=1,
                 )
@@ -1161,6 +1182,7 @@ class KeyframeSLAM:
         arr = np.asarray(self._pack_drain(
             tuple(i.pose for _, i, _e in pend),
             tuple(i.tracked for _, i, _e in pend),
+            tuple(i.valid_px for _, i, _e in pend),
         ))
         frame0 = self._frame_idx - len(pend)
         saved = self._frame_idx
@@ -1177,21 +1199,26 @@ class KeyframeSLAM:
                     corr @ raw_pose
                 ).astype(np.float32)
                 tracked = arr[b, 16] > 0.5
+                valid_px = int(arr[b, 17])
                 # event logs inside the per-frame logic stamp the frame's
                 # own index, not the batch-end counter
                 self._frame_idx = frame0 + b
-                c = self._per_frame(d, pose_np, raw_pose, tracked, epoch)
+                c = self._per_frame(d, pose_np, raw_pose, tracked, epoch,
+                                    valid_px=valid_px)
                 if c is not None:
                     corr = c if corr is None else c @ corr
         finally:
             self._frame_idx = saved
 
-    def _per_frame(self, depth_raw, pose_np, raw_pose, tracked, epoch=None):
+    def _per_frame(self, depth_raw, pose_np, raw_pose, tracked, epoch=None,
+                   valid_px=None):
         """Deferred per-frame bookkeeping.  ``raw_pose`` is the pose the
         jitted step actually FUSED at (before any in-batch correction or
         relocalization) — the contribution ledger needs it to de-integrate
-        exactly.  Returns a BA correction to retro-apply to later
-        in-flight frames, or None."""
+        exactly.  ``valid_px`` is the frame's valid-depth pixel count
+        (from the batched drain fetch; None = unknown, the relocalizer
+        then gates with its own fetch).  Returns a BA correction to
+        retro-apply to later in-flight frames, or None."""
         correction = None
         if tracked:
             self._lost_streak = 0
@@ -1205,7 +1232,7 @@ class KeyframeSLAM:
                 and (self._lost_streak - r.reloc_after) % r.reloc_interval
                 == 0
             ):
-                new_pose = self._relocalize(depth_raw)
+                new_pose = self._relocalize(depth_raw, valid_px=valid_px)
                 if new_pose is not None:
                     pose_np = new_pose
         if self._should_insert(pose_np):

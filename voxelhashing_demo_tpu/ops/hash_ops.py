@@ -742,6 +742,21 @@ def restore_blocks(
     the map safe but makes frames fused before the eviction invisible to
     the born gate — the caller must then fall back to a full rebuild
     (models/keyframe_slam surfaces this as a ledger invalidation).
+
+    RESIDENCY CAVEAT (bounded approximation, r4 ADVICE item 1): the born
+    stamp records the row's allocation EPOCH, not its device-residency
+    history.  A frame whose frustum covered this block while it was
+    off-device (evicted, and a fresh allocation skipped — e.g.
+    max_new_per_frame exhausted) fused nothing into it, yet passes the
+    born<=frame de-integration gate once the block is restored with its
+    original stamp: de-integrating that frame then subtracts a
+    contribution that was never added.  The window is narrow (the block
+    must be evicted AND revisited AND un-allocatable in the same frames)
+    and each occurrence perturbs only that frame's per-voxel sample, but
+    incremental reintegration across streaming is therefore exact only
+    up to restore-lag frames — not bit-exact in every interleaving.
+    Callers needing strict exactness use a full rebuild (which re-fuses
+    from the durable keyframe depths and re-stamps everything).
     """
     bucket_fn = bucket_fn or default_bucket_fn(cfg)
     R = keys.shape[0]

@@ -451,13 +451,14 @@ def make_sharded_step(config: PipelineConfig, mesh: Mesh):
             blocks_active=jax.lax.psum(active.count, AXIS),
             blocks_freed=jax.lax.psum(n_freed, AXIS),
             free_blocks=jax.lax.psum(hmap.free_top[0], AXIS),
+            valid_px=jnp.sum(frame.depth > 0).astype(jnp.int32),
         )
         return new_state, info
 
     info_spec = StepInfo(
         pose=P(), icp_error=P(), icp_count=P(), icp_iters=P(), tracked=P(),
         blocks_allocated=P(), blocks_active=P(), blocks_freed=P(),
-        free_blocks=P(),
+        free_blocks=P(), valid_px=P(),
     )
     sharded = jax.shard_map(
         _local_step,
@@ -579,23 +580,33 @@ def make_sharded_render_model(config: PipelineConfig, mesh: Mesh):
 
 def make_sharded_evict(config: PipelineConfig, mesh: Mesh):
     """Jitted sharded eviction scan: each device evicts its own stale rows
-    (max_evict/n per device) — no collectives; the padded payload comes
-    back axis-sharded and the host concatenates it into the BlockStore."""
+    (max_evict/n per device) — no collectives beyond the count psum; the
+    padded payload comes back axis-sharded and the host concatenates it
+    into the BlockStore.  As in the single-chip twin
+    (models/hash_slam.make_evict), the replicated ``sync`` output packs
+    [n_evicted, pose(16), vel(16), accepted_prev(max_restore)] so the
+    streaming cycle needs ONE blocking fetch."""
     n = mesh.devices.size
     lcfg = local_hash_config(config.hash, n)
     s = config.stream
     assert s.max_evict % n == 0
 
-    def _local(hmap, frame_idx):
+    def _local(hmap, frame_idx, pose, vel, accepted_prev):
         hmap, keys, tsdf, weight, born, cnt = hash_ops.evict_stale(
             hmap, lcfg, frame_idx, s.max_age, s.max_evict // n
         )
-        return hmap, keys, tsdf, weight, born, jax.lax.psum(cnt, AXIS)
+        sync = jnp.concatenate([
+            jax.lax.psum(cnt, AXIS).astype(jnp.float32)[None],
+            pose.reshape(16),
+            vel.reshape(16),
+            accepted_prev.astype(jnp.float32),
+        ])
+        return hmap, keys, tsdf, weight, born, sync
 
     fn = jax.shard_map(
         _local,
         mesh=mesh,
-        in_specs=(_map_spec(), P()),
+        in_specs=(_map_spec(), P(), P(), P(), P()),
         out_specs=(_map_spec(), P(AXIS), P(AXIS), P(AXIS), P(AXIS), P()),
     )
     return jax.jit(fn, donate_argnums=0)
@@ -715,9 +726,13 @@ class ShardedHashSLAM:
     """Host-side wrapper: multi-chip voxel-hash SLAM over a device mesh.
 
     Streaming (config.stream.enabled) works exactly as in the single-chip
-    HashSLAM wrapper: one global host BlockStore; eviction pulls each
+    HashSLAM wrapper — one global host BlockStore; eviction pulls each
     device's stale rows (axis-sharded padded batch), restore broadcasts
-    the batch and owner-routes it on device."""
+    the batch and owner-routes it on device — including the PIPELINED
+    cycle (models/hash_slam.HashSLAM docstring): restore batches are
+    queried+uploaded one interval ahead, evicted payloads land one cycle
+    late with ``copy_to_host_async`` pre-shipping the bytes, and the
+    pose/velocity/count/accepted sync is ONE packed fetch."""
 
     def __init__(self, config: PipelineConfig, mesh: Mesh):
         self.config = config
@@ -733,31 +748,22 @@ class ShardedHashSLAM:
             self.store = BlockStore(config.hash)
             self._evict = make_sharded_evict(config, mesh)
             self._restore = make_sharded_restore(config, mesh)
+            self._init_stream_runtime()
 
-    def _stream_restore(self):
-        import numpy as np
-
-        s = self.config.stream
-        if not len(self.store):
-            return
-        pose = np.asarray(self.state.pose)
-        vel = np.asarray(self.state.vel)
-        keys = self.store.query_frustum(
-            pose @ vel, self.config.camera, self.config.fusion,
-            s.restore_margin_px, s.max_restore,
+    def _init_stream_runtime(self) -> None:
+        """Pipelining state (also called by checkpoint loaders)."""
+        self._prefetch = None        # (keys_np, uploaded padded arrays)
+        self._pending_evict = None   # device (keys, tsdf, weight, born)
+        self._zero_accept = jnp.zeros(
+            (self.config.stream.max_restore,), dtype=bool
         )
-        self._restore_keys(keys)
 
-    def _restore_keys(self, keys) -> None:
-        """Restore the given stored keys onto their owning devices;
-        shared by the streaming loop and the keyframe backend's
-        incremental reintegration (interface twin of
-        models/hash_slam.HashSLAM._restore_keys)."""
+    def _pack_restore(self, keys):
+        """Pad the stored payload for ``keys`` to the fixed max_restore
+        upload shapes.  Returns (keys_p, tsdf_p, weight_p, born_p)."""
         import numpy as np
 
         s = self.config.stream
-        if keys.size == 0:
-            return
         tsdf, weight, born = self.store.rows_for(keys)
         pad = s.max_restore - keys.shape[0]
         V = self.config.hash.voxels_per_block
@@ -767,41 +773,135 @@ class ShardedHashSLAM:
         tsdf_p = np.concatenate([tsdf, np.zeros((pad, V), np.float32)])
         weight_p = np.concatenate([weight, np.zeros((pad, V), np.float32)])
         born_p = np.concatenate([born, np.zeros(pad, np.int32)])
+        return keys_p, tsdf_p, weight_p, born_p
+
+    def _dispatch_restore(self, uploaded):
+        keys_d, tsdf_d, weight_d, born_d = uploaded
         hmap, accepted = self._restore(
-            self.state.hmap, jnp.asarray(keys_p), jnp.asarray(tsdf_p),
-            jnp.asarray(weight_p), jnp.asarray(born_p),
+            self.state.hmap, keys_d, tsdf_d, weight_d, born_d,
             self.state.frame_idx,
         )
         self.state = self.state._replace(hmap=hmap)
+        return accepted
+
+    def _land_pending_evict(self) -> None:
+        import numpy as np
+
+        if self._pending_evict is None:
+            return
+        keys, tsdf, weight, born = self._pending_evict
+        self._pending_evict = None
+        self.store.add(
+            np.asarray(keys), np.asarray(tsdf), np.asarray(weight),
+            np.asarray(born),
+        )
+
+    def stream_sync(self) -> None:
+        """Quiesce the pipelined streaming cycle (interface twin of
+        models/hash_slam.HashSLAM.stream_sync)."""
+        import numpy as np
+
+        if self.store is None:
+            return
+        if self._prefetch is not None:
+            keys, uploaded = self._prefetch
+            self._prefetch = None
+            accepted = self._dispatch_restore(uploaded)
+            self.store.take(keys, np.asarray(accepted)[: keys.shape[0]])
+        self._land_pending_evict()
+
+    def _stream_cycle(self, horizon: int | None = None) -> None:
+        import numpy as np
+
+        s = self.config.stream
+        # 1. dispatch the restore prepared last cycle
+        acc = self._zero_accept
+        taken_keys = None
+        if self._prefetch is not None:
+            keys, uploaded = self._prefetch
+            self._prefetch = None
+            acc = self._dispatch_restore(uploaded)
+            taken_keys = keys
+        # 2. evict with the packed sync
+        hmap, keys_e, tsdf_e, weight_e, born_e, sync = self._evict(
+            self.state.hmap, self.state.frame_idx, self.state.pose,
+            self.state.vel, acc,
+        )
+        self.state = self.state._replace(hmap=hmap)
+        # 3. land last cycle's evicted payload
+        self._land_pending_evict()
+        # 4. the cycle's ONE blocking fetch
+        arr = np.asarray(sync)
+        n = int(arr[0])
+        pose = arr[1:17].reshape(4, 4)
+        vel = arr[17:33].reshape(4, 4)
+        if taken_keys is not None:
+            self.store.take(
+                taken_keys, arr[33 : 33 + taken_keys.shape[0]] > 0.5
+            )
+        # 5. start this cycle's evicted-payload D2H in the background
+        if n > 0:
+            for x in (keys_e, tsdf_e, weight_e, born_e):
+                x.copy_to_host_async()
+            self._pending_evict = (keys_e, tsdf_e, weight_e, born_e)
+        # 6. query + upload the next cycle's restore batch
+        if len(self.store):
+            hor = 2 * s.interval if horizon is None else horizon
+            pred = pose @ np.linalg.matrix_power(vel, hor)
+            keys = self.store.query_frustum(
+                pred, self.config.camera, self.config.fusion,
+                s.restore_margin_px, s.max_restore,
+            )
+            if keys.size:
+                uploaded = tuple(
+                    jnp.asarray(a) for a in self._pack_restore(keys)
+                )
+                self._prefetch = (keys, uploaded)
+
+    def _restore_keys(self, keys) -> None:
+        """Synchronously restore the given stored keys onto their owning
+        devices; used by the keyframe backend's incremental reintegration
+        (interface twin of models/hash_slam.HashSLAM._restore_keys)."""
+        import numpy as np
+
+        # the sync may dispatch a prefetched restore that TAKES some of
+        # the requested keys out of the store (they are on-device now,
+        # which is what the caller wanted) — drop them from the batch
+        self.stream_sync()
+        if keys.size:
+            keys = keys[np.fromiter(
+                (int(k) in self.store._index for k in keys),
+                bool, keys.shape[0],
+            )]
+        if keys.size == 0:
+            return
+        uploaded = tuple(jnp.asarray(a) for a in self._pack_restore(keys))
+        accepted = self._dispatch_restore(uploaded)
         self.store.take(keys, np.asarray(accepted)[: keys.shape[0]])
 
     def _evict_into(self, hmap, frame_idx, store):
         """Run the sharded eviction jit and move the payload into
-        ``store`` (interface shared with the single-chip driver for the
-        keyframe backend's map rebuild)."""
+        ``store`` synchronously (interface shared with the single-chip
+        driver for the keyframe backend's map rebuild)."""
         import numpy as np
 
-        hmap, keys, tsdf, weight, born, n = self._evict(hmap, frame_idx)
-        if int(n) > 0:
+        I = jnp.eye(4, dtype=jnp.float32)
+        hmap, keys, tsdf, weight, born, sync = self._evict(
+            hmap, frame_idx, I, I, self._zero_accept
+        )
+        if int(np.asarray(sync[0])) > 0:
             store.add(
                 np.asarray(keys), np.asarray(tsdf), np.asarray(weight),
                 np.asarray(born),
             )
         return hmap
 
-    def _stream_evict(self):
-        hmap = self._evict_into(
-            self.state.hmap, self.state.frame_idx, self.store
-        )
-        self.state = self.state._replace(hmap=hmap)
-
     def process(self, depth_raw) -> StepInfo:
-        if self.store is not None:
-            self._stream_restore()
+        if (self.store is not None
+                and len(self.trajectory) % self.config.stream.interval
+                == 0):
+            self._stream_cycle()
         self.state, info = self._step(self.state, jnp.asarray(depth_raw))
         self.trajectory.append(info.pose)
         self.infos.append(info)
-        if self.store is not None:
-            if len(self.trajectory) % self.config.stream.interval == 0:
-                self._stream_evict()
         return info

@@ -213,10 +213,22 @@ class BlockStore:
     def from_arrays(
         cls, hcfg: HashConfig, keys: np.ndarray, tsdf: np.ndarray,
         weight: np.ndarray, born: np.ndarray | None = None,
+        born_default: int = 0,
     ) -> "BlockStore":
-        # ``born`` may be absent in pre-r4 checkpoints: default stamp 0
-        # is the conservative "oldest" epoch (see hash_ops.restore_blocks)
+        """Rebuild a store from checkpoint arrays.
+
+        ``born`` may be absent in pre-r4 checkpoints.  Stamp 0 would be
+        the PERMISSIVE direction for the born<=frame de-integration gate
+        (every frame's de-integration would reach the row), so legacy
+        rows must instead be stamped with the restore-time frame index
+        (``born_default``, matching ``hash_ops.restore_blocks``'s
+        born_rows=None fallback): the row becomes invisible to
+        de-integration of any already-fused frame, which is safe — the
+        ledger starts invalid after a load anyway and the next full
+        rebuild discards the old store."""
         store = cls(hcfg, capacity=max(4096, len(keys)))
+        if born is None:
+            born = np.full(len(keys), int(born_default), np.int32)
         store.add(keys, tsdf, weight, born)
         store.total_evicted = 0
         return store

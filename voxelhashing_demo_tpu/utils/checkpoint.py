@@ -80,6 +80,11 @@ def save_slam(
     ``load_sharded_slam`` can restore the exact per-device layout
     (bit-identical resume) while plain ``load_slam`` converts the map
     canonically to the single-chip layout."""
+    if getattr(slam, "store", None) is not None:
+        # quiesce the pipelined streaming cycle: an in-flight evicted
+        # payload lives on neither the device map nor the store yet and
+        # would be LOST by a snapshot taken mid-pipeline
+        slam.stream_sync()
     arrays = _flatten("state", slam.state)
     mesh = getattr(slam, "mesh", None)
     arrays["mesh_n"] = np.int64(mesh.devices.size if mesh is not None else 1)
@@ -204,9 +209,11 @@ def load_slam(
                     config.hash, z["store.keys"], z["store.tsdf"],
                     z["store.weight"],
                     z["store.born"] if "store.born" in z else None,
+                    born_default=int(z["state.frame_idx"]),
                 )
             else:
                 slam.store = BlockStore(config.hash)
+            slam._init_stream_runtime()
 
         def leaf(key):
             return jnp.asarray(z[key])
@@ -347,9 +354,11 @@ def load_sharded_slam(path: str, mesh=None):
                     config.hash, z["store.keys"], z["store.tsdf"],
                     z["store.weight"],
                     z["store.born"] if "store.born" in z else None,
+                    born_default=int(z["state.frame_idx"]),
                 )
             else:
                 slam.store = BlockStore(config.hash)
+            slam._init_stream_runtime()
         slam.state = hash_slam.HashSLAMState(
             hmap=hash_ops.HashMap(**hmap_kwargs),
             pose=leaf("state.pose", state_spec.pose),
