@@ -14,15 +14,19 @@ worked).
 
 The headline number is the HONEST one: the full system with the keyframe
 backend active (loop closure + BA + map reintegration) on a 400-frame
-closed-loop Kinect-noise sweep.  ``value_frontend_only`` is the 200-frame
-growing-map frontend sweep, and ``vs_baseline`` gates on the WORSE of the
-two so neither regression can hide.  ``detail`` additionally carries the
-two-lap continuous-closure ENDURANCE run (BA + reintegration on almost
-every insert), the beyond-capacity STREAMING regime (evict/restore
-active throughout), the steady-state number (the old flattering metric,
-for continuity), map growth, tracking quality, and a per-stage
-breakdown.  ``python bench.py --quick`` runs only the steady-state
-loop.
+closed-loop Kinect-noise sweep, reported as the MEDIAN OF 3 runs (the
+tunnel adds occasional multi-second stalls; min/max ride in detail).
+``value_frontend_only`` is the 200-frame growing-map frontend sweep, and
+``vs_baseline`` gates on the WORSE of the two so neither regression can
+hide.  ``detail`` additionally carries the two-lap continuous-closure
+ENDURANCE run (BA + reintegration on almost every insert), the
+PER-CLOSURE-BA regime (deferral off — small frequent corrections, where
+incremental reintegration carries the map updates), the beyond-capacity
+STREAMING regime (evict/restore active throughout), the COMPOSED
+streaming+backend regime (BASELINE config-5), the steady-state number
+(the old flattering metric, for continuity), map growth, tracking
+quality, and a per-stage breakdown.  ``python bench.py --quick`` runs
+only the steady-state loop.
 """
 
 import json
@@ -154,7 +158,8 @@ def _long_run(config, hash_slam, synthetic, metrics, num_frames=200,
 
 
 def _backend_run(config, hash_slam, synthetic, metrics, num_frames=400,
-                 warm_frames=60, sweep_deg=360.0, frontend_baseline=True):
+                 warm_frames=60, sweep_deg=360.0, frontend_baseline=True,
+                 kf_overrides=None):
     """Keyframe-backend benchmark on a CLOSED noisy sweep: the workload
     where loop closure + BA + map reintegration must pay off on-chip
     (VERDICT r2 item 3 — previously the backend's value was only
@@ -192,6 +197,7 @@ def _backend_run(config, hash_slam, synthetic, metrics, num_frames=400,
             # block-sparse BA build is O(E) independent of capacity
             # (ops/pose_graph.build_normal_equations), so the r3
             # right-sizing to 32 poses is no longer needed
+            **(kf_overrides or {}),
         ),
     )
     cam = config.camera
@@ -285,6 +291,16 @@ def _backend_run(config, hash_slam, synthetic, metrics, num_frames=400,
         "keyframes_reintegrated": sum(
             e.get("keyframes_reintegrated", 0) for e in slam.ba_events
         ),
+        # per-mode map-update wall-clock (the full-vs-incremental cost
+        # evidence — VERDICT r4 item 2)
+        "rebuild_s_full_mean": round(float(np.mean([
+            e["rebuild_s"] for e in slam.ba_events
+            if e["rebuild_mode"] == "full"
+        ])), 3) if any(m == "full" for m in modes) else None,
+        "rebuild_s_incremental_mean": round(float(np.mean([
+            e["rebuild_s"] for e in slam.ba_events
+            if e["rebuild_mode"] == "incremental"
+        ])), 3) if any(m == "incremental" for m in modes) else None,
         "max_frame_ms": round(max(frame_ms), 1),
         "p50_frame_ms": round(float(np.median(frame_ms)), 2),
         "tracked": sum(bool(i.tracked) for i in slam.infos),
@@ -326,14 +342,18 @@ def _streaming_run(config, hash_slam, synthetic, metrics, num_frames=200):
     gt = gt_f + gt_f[-2::-1]
     n = len(depths)
 
-    # warm pass on a throwaway instance: the evict/restore jits compile
-    # on their FIRST use mid-sequence (cold compiles are seconds on the
-    # tunnel and belong off the clock); a mini out-and-back triggers both
+    # warm pass on a throwaway instance: a mini out-and-back compiles
+    # the step, then the PUBLIC warm_stream covers every evict/restore/
+    # pull bucket jit — the mini sweep's eviction age gating never
+    # actually triggered a restore, so its compile (seconds on the
+    # tunnel even with the persistent cache) used to land mid-run
+    # (measured 9.8 vs ~40 fps, tools/exp_stream_ablate.py)
     warm = hash_slam.HashSLAM(cfg)
     wmini = depths[:16] + depths[:16][-2::-1]
     for d in wmini:
         warm.process(d)
     _sync(warm.infos[-1].icp_error)
+    warm.warm_stream()
     del warm
 
     slam = hash_slam.HashSLAM(cfg)
@@ -344,6 +364,7 @@ def _streaming_run(config, hash_slam, synthetic, metrics, num_frames=200):
         info = slam.process(d)
     _sync(info.icp_error)
     fps = (n - 1) / (time.perf_counter() - t0)
+    slam.stream_sync()   # land in-flight payload before the accounting
     ate = metrics.ate_rmse(slam.trajectory, gt, align=False)
     return {
         "fps": round(fps, 3),
@@ -354,6 +375,89 @@ def _streaming_run(config, hash_slam, synthetic, metrics, num_frames=200):
         "evicted": slam.store.total_evicted,
         "restored": slam.store.total_restored,
         "store_blocks_final": len(slam.store),
+    }
+
+
+def _streaming_backend_run(config, hash_slam, synthetic, metrics,
+                           num_frames=200):
+    """COMPOSED regime: beyond-capacity streaming (evict/restore active
+    throughout) WITH the keyframe backend (loop closure + BA + map
+    rebuild) on the same out-and-back — the BASELINE config-5 multi-room
+    workload README describes, first measured on-chip in r5 (VERDICT r4
+    weak 2 said its throughput was unknown).  The return leg closes
+    against outbound keyframes, so BA corrections land while the map is
+    partly in the host store; a significant correction rebuilds the map
+    INTO A FRESH STORE with eviction interleaving the keyframe replay."""
+    import dataclasses
+
+    from voxelhashing_demo_tpu.models import keyframe_slam
+
+    cfg = dataclasses.replace(
+        config,
+        hash=dataclasses.replace(
+            config.hash, num_buckets=8192, bucket_size=4, num_blocks=2048,
+            max_active=2048, max_new_per_frame=2048,
+        ),
+        stream=dataclasses.replace(
+            config.stream, enabled=True, interval=8, max_age=16,
+            max_evict=2048, max_restore=2048,
+        ),
+        keyframes=dataclasses.replace(
+            config.keyframes, min_loop_separation=8, loop_radius=0.35,
+            min_rotation_deg=15.0, min_translation=0.25,
+            rebuild_move_min_trans=0.02, rebuild_move_min_rot_deg=1.0,
+        ),
+    )
+    cam = cfg.camera
+    half = num_frames // 2 + 1
+    fwd, gt_f = synthetic.make_room_sweep(
+        cam, half, sweep_deg=170.0, noise_seed=1
+    )
+    depths = [jnp.asarray(d) for d in fwd + fwd[-2::-1]]
+    gt = gt_f + gt_f[-2::-1]
+    n = len(depths)
+
+    # warm pass: a mini out-and-back through the SAME config compiles the
+    # streaming cycle + keyframe batches; warm_compile covers BA/rebuild/
+    # reintegration/relocalization (all config-memoized)
+    warm = keyframe_slam.KeyframeSLAM(cfg)
+    wmini = depths[:16] + depths[:16][-2::-1]
+    for d in wmini:
+        warm.process(d)
+    warm.flush()
+    _sync(warm.infos[-1].icp_error)
+    warm.warm_compile(depths[0])
+    del warm
+
+    slam = keyframe_slam.KeyframeSLAM(cfg)
+    info = slam.process(depths[0])
+    _sync(info.icp_error)
+    t0 = time.perf_counter()
+    for d in depths[1:]:
+        info = slam.process(d)
+    slam.flush()
+    _sync(info.icp_error)
+    fps = (n - 1) / (time.perf_counter() - t0)
+    ate = metrics.ate_rmse(slam.trajectory(), gt, align=False)
+    K = len(slam.keyframes)
+    modes = [e["rebuild_mode"] for e in slam.ba_events if e["map_rebuilt"]]
+    store = slam._driver.store
+    return {
+        "fps": round(fps, 3),
+        "frames": n,
+        "ate_rmse_m": round(float(ate), 5),
+        "tracked": sum(bool(i.tracked) for i in slam.infos),
+        "keyframes": K,
+        "loop_edges": int(slam.graph.num_edges) - max(K - 1, 0),
+        "ba_runs": len(slam.ba_events),
+        "rebuilds_full": sum(1 for m in modes if m == "full"),
+        "rebuilds_incremental": sum(
+            1 for m in modes if m == "incremental"
+        ),
+        "device_blocks": cfg.hash.num_blocks,
+        "evicted": store.total_evicted,
+        "restored": store.total_restored,
+        "store_blocks_final": len(store),
     }
 
 
@@ -434,21 +538,49 @@ def main():
         return
 
     long_run = _long_run(config, hash_slam, synthetic, metrics)
-    backend = _backend_run(config, hash_slam, synthetic, metrics)
+    # HEADLINE backend sweep runs 3x (median + spread): the tunnel adds
+    # occasional multi-second stalls and a single sample has a measured
+    # 37.6-40.6 run-to-run spread (VERDICT r4 item 4).  Repeats reuse
+    # the first run's warm compiles (config-memoized jit factories).
+    backend_runs = [_backend_run(config, hash_slam, synthetic, metrics)]
+    backend_runs += [
+        _backend_run(config, hash_slam, synthetic, metrics,
+                     warm_frames=0, frontend_baseline=False)
+        for _ in range(2)
+    ]
+    samples = sorted(r["fps"] for r in backend_runs)
+    backend = backend_runs[0]
+    backend["fps_median_of_3"] = samples[1]
+    backend["fps_min"] = samples[0]
+    backend["fps_max"] = samples[-1]
     # two-lap endurance: continuous-closure regime (VERDICT r3 item 2);
     # same internal config as _backend_run, so every jit is already warm
     endurance = _backend_run(config, hash_slam, synthetic, metrics,
                              num_frames=800, sweep_deg=720.0,
                              warm_frames=0, frontend_baseline=False)
+    # per-closure BA regime (ba_defer off): the latency/accuracy-first
+    # configuration where corrections are small and frequent, so the
+    # exact INCREMENTAL reintegration path carries the map updates
+    # (VERDICT r4 item 2: capture the regime where it pays, with mode
+    # counts and per-mode wall-clock)
+    incremental = _backend_run(
+        config, hash_slam, synthetic, metrics, warm_frames=40,
+        frontend_baseline=False,
+        kf_overrides=dict(ba_defer_edges=1, ba_defer_frames=0),
+    )
     streaming = _streaming_run(config, hash_slam, synthetic, metrics)
+    # composed config-5 regime: streaming + keyframe backend together
+    streaming_backend = _streaming_backend_run(
+        config, hash_slam, synthetic, metrics
+    )
     stages = _stage_breakdown(config, hash_slam, synthetic)
     # HEADLINE = the full system WITH the keyframe backend active (loop
     # closure + BA + map reintegration on the 400-frame closed sweep) —
     # the north-star configuration, and the slower of the two honest
-    # workloads.  The frontend-only growing-map number rides alongside;
-    # vs_baseline gates on the worse of the two so neither regression
-    # can hide (VERDICT r3 item 2).
-    fps = backend["fps"]
+    # workloads; median of 3 runs.  The frontend-only growing-map number
+    # rides alongside; vs_baseline gates on the worse of the two so
+    # neither regression can hide (VERDICT r3 item 2).
+    fps = samples[1]
     fps_frontend = long_run["fps"]
     out = {
         "metric": "fused_frames_per_s_per_chip",
@@ -458,11 +590,14 @@ def main():
         "vs_baseline": round(min(fps, fps_frontend) / 30.0, 4),
         "detail": {
             "workload": ("400-frame closed-loop Kinect-noise sweep, "
-                         "keyframe backend (BA + reintegration) active"),
+                         "keyframe backend (BA + reintegration) active; "
+                         "median of 3 runs"),
             "long_run": long_run,
             "keyframe_backend": backend,
             "endurance_two_lap": endurance,
+            "per_closure_ba_incremental": incremental,
             "streaming_beyond_capacity": streaming,
+            "streaming_plus_backend": streaming_backend,
             "steady_state_fps": round(steady, 3),
             "stages": stages,
         },

@@ -57,9 +57,19 @@ def test_backend_run_and_stages():
     out = bench._backend_run(CFG, hash_slam, synthetic, metrics,
                              num_frames=10, warm_frames=4)
     assert out["fps"] > 0 and out["keyframes"] >= 1
+    # kf_overrides drives the per-closure-BA incremental section
+    out2 = bench._backend_run(
+        CFG, hash_slam, synthetic, metrics, num_frames=8, warm_frames=0,
+        frontend_baseline=False,
+        kf_overrides=dict(ba_defer_edges=1, ba_defer_frames=0),
+    )
+    assert out2["fps"] > 0
     st = bench._streaming_run(CFG, hash_slam, synthetic, metrics,
                               num_frames=8)
     assert st["fps"] > 0 and st["frames"] == 9
+    sb = bench._streaming_backend_run(CFG, hash_slam, synthetic, metrics,
+                                      num_frames=8)
+    assert sb["fps"] > 0 and sb["frames"] == 9
     stages = bench._stage_breakdown(CFG, hash_slam, synthetic,
                                     frames=6, reps=2)
     assert set(stages) == {"preprocess_ms", "icp_ms", "fuse_ms",

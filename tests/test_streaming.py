@@ -123,6 +123,10 @@ def _out_and_back():
 def _run(slam, depths, gt):
     for d in depths:
         slam.process(d)
+    if getattr(slam, "store", None) is not None:
+        # quiesce the pipelined cycle so in-flight evicted payload lands
+        # in the store before the accounting below
+        slam.stream_sync()
     ate = metrics.ate_rmse(slam.trajectory, gt, align=False)
     dev_keys = set(
         int(k) for k in np.asarray(slam.state.hmap.keys)
@@ -306,6 +310,36 @@ def test_packed_restore_roundtrip(tiny_cfg):
     # born stamps come back verbatim, not stamped "now" (frame 99)
     np.testing.assert_array_equal(
         np.asarray(hmap.born)[np.asarray(ptrs)], born
+    )
+
+
+def test_pull_roundtrip(tiny_cfg):
+    """The combined streaming pull [sync | key-bits | payload] decodes
+    bit-exactly on the host: int32 keys travel as raw float32 bit
+    patterns (including EMPTY_KEY = 0x7FFFFFFF, a NaN payload the D2H
+    path must not canonicalize) and the payload rows come back
+    verbatim."""
+    from voxelhashing_demo_tpu.models import hash_slam as hs
+
+    cfg = tiny_cfg
+    V = cfg.hash.voxels_per_block
+    R = cfg.stream.max_restore
+    b = 4
+    rng = np.random.default_rng(3)
+    keys = np.array(
+        [123456, -1, int(hash_ops.EMPTY_KEY), 77], np.int32
+    )
+    payload = rng.normal(size=(b, 2 * V + 1)).astype(np.float32)
+    sync = rng.normal(size=(33 + R,)).astype(np.float32)
+
+    out = np.asarray(hs.make_pull(cfg, b)(
+        jnp.asarray(sync), jnp.asarray(keys), jnp.asarray(payload)
+    ))
+    S = 33 + R
+    np.testing.assert_array_equal(out[:S], sync)
+    np.testing.assert_array_equal(out[S : S + b].view(np.int32), keys)
+    np.testing.assert_array_equal(
+        out[S + b :].reshape(b, 2 * V + 1), payload
     )
 
 

@@ -81,6 +81,7 @@ def release_compiled() -> None:
         hash_slam.make_scan_step,
         hash_slam.make_evict,
         hash_slam.make_restore,
+        hash_slam.make_pull,
         keyframe_slam.make_fuse_only,
         keyframe_slam.make_reintegrate,
         keyframe_slam.make_render_model,

@@ -289,6 +289,25 @@ def make_restore(config: PipelineConfig, batch: int):
     return jax.jit(restore, donate_argnums=0)
 
 
+@functools.lru_cache(maxsize=None)
+def make_pull(config: PipelineConfig, batch: int):
+    """Jitted D2H pack for the streaming cycle: concatenates the sync
+    record with a ``batch``-row evicted payload (keys as float32 bit
+    patterns) so both ride ONE device->host transfer — each D2H transfer
+    costs ~100-150 ms FIXED on the tunnel regardless of size
+    (tools/exp_stream_prof.py), so transfer count, not bytes, is the
+    cycle's cost."""
+
+    def pull(sync, keys, payload):
+        return jnp.concatenate([
+            sync,
+            jax.lax.bitcast_convert_type(keys, jnp.float32),
+            payload.reshape(-1),
+        ])
+
+    return jax.jit(pull)
+
+
 def _bucket(n: int, cap: int, floor: int = 1) -> int:
     """Smallest power of two >= n, floored and capped.
 
@@ -308,20 +327,24 @@ class HashSLAM:
 
     With ``config.stream.enabled`` the wrapper also runs the out-of-core
     streaming loop around the jitted step, PIPELINED for remote chips
-    (VERDICT r4 item 1).  Every ``stream.interval`` frames one
-    ``_stream_cycle`` runs, whose only blocking host work is a single
-    packed sync fetch (~1 tunnel RTT):
+    (VERDICT r4 item 1).  Each ``stream.interval``-frame cycle is split
+    so its one blocking transfer overlaps step execution (measured on
+    the tunnel, tools/exp_h2d.py + tools/exp_stream_prof.py: H2D uploads
+    are async-dispatched at ~24 ms/MB wire cost; D2H transfers happen at
+    fetch time with a ~100-150 ms FIXED per-transfer cost, and
+    ``copy_to_host_async`` blocks rather than pre-shipping):
 
-    - the restore batch dispatched this cycle was QUERIED and UPLOADED
-      last cycle (host->device transfers are async-dispatched — measured
-      tools/exp_h2d.py — so the upload's ~24 ms/MB wire time overlapped
-      the interval's step compute);
-    - the evicted payload pulled into the host BlockStore this cycle was
-      EVICTED last cycle, with ``copy_to_host_async`` pre-shipping the
-      bytes in the background;
-    - the camera pose/velocity for the next restore prediction, the
-      eviction count, and the previous restore's accepted mask all ride
-      ONE packed fetch inside the eviction jit.
+    - at the interval boundary, ``_cycle_dispatch`` enqueues device work
+      only: the restore of the batch uploaded LAST cycle, the eviction
+      scan, and a packed pull that concatenates the cycle's sync record
+      [n_evicted | pose | vel | accepted] with the PREVIOUS cycle's
+      evicted payload — one D2H transfer instead of three;
+    - half an interval later, ``_cycle_complete`` fetches that one
+      array (its wire time rides alongside the in-flight steps), lands
+      the payload in the BlockStore, takes the accepted restore keys,
+      and queries + uploads the NEXT restore batch at the
+      constant-velocity-predicted frustum — giving the upload the
+      remaining half interval to ship before its restore dispatches.
     """
 
     def __init__(self, config: PipelineConfig):
@@ -343,12 +366,28 @@ class HashSLAM:
     def _init_stream_runtime(self) -> None:
         """Pipelining state for the streaming cycle (also called by the
         checkpoint loaders, which construct via ``__new__``)."""
+        import concurrent.futures
+
         # (keys_np, packed_device_array, bucket): restore queried+uploaded
         # last cycle, dispatched next cycle
         self._prefetch = None
-        # (keys_dev, payload_dev, bucket): evicted last cycle, D2H copy
-        # shipping in the background, landed in the store next cycle
+        # (keys_dev, payload_dev, bucket): evicted last cycle, pulled as
+        # part of the next cycle's combined fetch
         self._pending_evict = None
+        # (combined_dev, taken_keys, prev_bucket, keys_dev, payload_dev):
+        # dispatched at the boundary, fetched by the completion worker
+        self._inflight = None
+        # single worker running _complete_work off the dispatch thread:
+        # the combined fetch blocks on ~100-150 ms of wire time, and a
+        # blocked host thread cannot dispatch the interval's remaining
+        # steps — the device would run dry (a pipeline bubble measured
+        # at ~5 fps on the tunnel).  The cycle protocol serializes all
+        # store/prefetch access: the worker is joined before any other
+        # streaming-state use (_join_complete).
+        self._stream_worker = concurrent.futures.ThreadPoolExecutor(
+            max_workers=1, thread_name_prefix="stream-complete"
+        )
+        self._completing = None   # in-flight Future from the worker
         self._zero_accept = jnp.zeros(
             (self.config.stream.max_restore,), dtype=bool
         )
@@ -381,31 +420,27 @@ class HashSLAM:
         packed[:m, 1 + 2 * V] = born.astype(np.float32)
         return packed, b
 
-    def _land_pending_evict(self) -> None:
-        """Move last cycle's evicted payload (D2H pre-shipped) into the
-        host store."""
-        import numpy as np
-
-        if self._pending_evict is None:
-            return
-        keys_dev, payload_dev, b = self._pending_evict
-        self._pending_evict = None
-        V = self.config.hash.voxels_per_block
-        arr = np.asarray(payload_dev)
-        self.store.add(np.asarray(keys_dev), arr[:, :V],
-                       arr[:, V : 2 * V],
-                       arr[:, 2 * V].astype(np.int32))
+    def _join_complete(self) -> None:
+        """Wait for the completion worker (re-raising its exceptions);
+        afterward _prefetch/_pending_evict/store are current."""
+        if self._completing is not None:
+            f = self._completing
+            self._completing = None
+            f.result()
 
     def stream_sync(self) -> None:
-        """Quiesce the streaming pipeline: dispatch any prefetched
-        restore (taking its accepted keys out of the store) and land any
-        in-flight evicted payload.  Callers that swap the store, snapshot
-        it (checkpointing), or need the device map fully current
-        (incremental reintegration) must run this first."""
+        """Quiesce the streaming pipeline: complete any in-flight cycle,
+        dispatch any prefetched restore (taking its accepted keys out of
+        the store), and land any un-pulled evicted payload.  Callers
+        that swap the store, snapshot it (checkpointing), or need the
+        device map fully current (incremental reintegration) must run
+        this first."""
         import numpy as np
 
         if self.store is None:
             return
+        self._cycle_complete()
+        self._join_complete()
         if self._prefetch is not None:
             keys, packed_dev, b = self._prefetch
             self._prefetch = None
@@ -414,19 +449,76 @@ class HashSLAM:
             )
             self.state = self.state._replace(hmap=hmap)
             self.store.take(keys, np.asarray(accepted)[: keys.shape[0]])
-        self._land_pending_evict()
+        if self._pending_evict is not None:
+            keys_dev, payload_dev, b = self._pending_evict
+            self._pending_evict = None
+            V = self.config.hash.voxels_per_block
+            arr = np.asarray(payload_dev)
+            self.store.add(np.asarray(keys_dev), arr[:, :V],
+                           arr[:, V : 2 * V],
+                           arr[:, 2 * V].astype(np.int32))
 
-    def _stream_cycle(self, horizon: int | None = None) -> None:
-        """One pipelined streaming cycle (see class docstring); runs at
-        ``stream.interval`` frame boundaries, before the frame's step.
-        ``horizon``: frames ahead to predict the next restore frustum
-        (default 2x interval — queried now, dispatched next cycle)."""
+    def warm_stream(self) -> None:
+        """Compile every jit the streaming cycle can reach — the evict
+        scan, the restore at every bucket size the 256 floor admits, and
+        the pull packer at every evict bucket the 128 floor admits —
+        against scratch state (this instance's map/store are untouched).
+
+        The public warm-up path for benchmarks/latency-sensitive
+        callers (twin of KeyframeSLAM.warm_compile): a cold restore
+        compile costs SECONDS on a remote chip even when the persistent
+        cache hits, and the streaming warm-up sweeps used previously
+        never actually triggered a restore (eviction age gating), so the
+        compile landed mid-measurement (measured r5: the full regime at
+        9.8 fps vs 59.4 with the restore path idle —
+        tools/exp_stream_ablate.py)."""
         import numpy as np
 
+        if self.store is None:
+            return
+        from ..geometry.coords import EMPTY_KEY
+        from ..ops import hash_ops as _hash_ops
+
         s = self.config.stream
+        V = self.config.hash.voxels_per_block
+        I = jnp.eye(4, dtype=jnp.float32)
+        hm = _hash_ops.create(self.config.hash)
+        hm, keys_e, payload, sync = self._evict(
+            hm, jnp.int32(0), I, I, self._zero_accept
+        )
+        b = _bucket(1, s.max_restore, floor=256)
+        while True:
+            packed = np.zeros((b, 2 + 2 * V), np.float32)
+            packed[:, 0] = np.full(b, EMPTY_KEY, np.int32).view(
+                np.float32
+            )
+            hm, acc = self._restore_for(b)(
+                hm, jnp.asarray(packed), jnp.int32(0)
+            )
+            if b >= s.max_restore:
+                break
+            b *= 2
+        b = _bucket(1, s.max_evict, floor=128)
+        while True:
+            out = make_pull(self.config, b)(
+                sync, keys_e[:b], payload[:b]
+            )
+            if b >= s.max_evict:
+                break
+            b *= 2
+        # one scalar fetch waits for the whole compile+execute chain
+        _ = float(np.asarray(out.ravel()[0]))
+        _ = float(np.asarray(acc.ravel()[0]))
+        del hm, keys_e, payload
+
+    def _cycle_dispatch(self) -> None:
+        """Interval-boundary half of the streaming cycle: device
+        dispatches only (plus joining the previous cycle's completion
+        worker, normally long done)."""
+        self._join_complete()
         st = self.state
-        # 1. dispatch the restore prepared last cycle (payload has been
-        #    shipping host->device in the background since then)
+        # dispatch the restore prepared last cycle (its packed payload
+        # has been shipping host->device since mid-interval)
         acc = self._zero_accept
         taken_keys = None
         if self._prefetch is not None:
@@ -437,16 +529,50 @@ class HashSLAM:
             )
             st = st._replace(hmap=hmap)
             taken_keys = keys
-        # 2. evict; the packed sync rides out with it
+        # evict; the packed sync record rides out with it
         hmap, keys_e, payload, sync = self._evict(
             st.hmap, st.frame_idx, st.pose, st.vel, acc
         )
         self.state = st._replace(hmap=hmap)
-        # 3. land last cycle's evicted payload (D2H already shipped)
-        self._land_pending_evict()
-        # 4. the cycle's ONE blocking fetch: n_evicted + pose + vel +
-        #    accepted mask of the restore dispatched in step 1
-        arr = np.asarray(sync)
+        # pack last cycle's evicted payload INTO the sync pull: one D2H
+        # transfer carries both (the transfer's fixed cost dominates)
+        pend = self._pending_evict
+        self._pending_evict = None
+        if pend is not None:
+            pk, pp, pb = pend
+            combined = make_pull(self.config, pb)(sync, pk, pp)
+        else:
+            pb = 0
+            combined = sync
+        self._inflight = (combined, taken_keys, pb, keys_e, payload)
+
+    def _cycle_complete(self, horizon: int | None = None) -> None:
+        """Mid-interval half of the streaming cycle, handed to the
+        completion worker so the fetch's wire time never blocks step
+        dispatch: the ONE blocking fetch, host store bookkeeping, and
+        the next restore batch's query + upload.  ``horizon``: frames
+        ahead of the boundary pose to predict the next restore frustum
+        (default 2x interval)."""
+        if self._inflight is None:
+            return
+        inflight = self._inflight
+        self._inflight = None
+        self._join_complete()   # never two completions in flight
+        self._completing = self._stream_worker.submit(
+            self._complete_work, inflight, horizon
+        )
+
+    def _complete_work(self, inflight, horizon: int | None) -> None:
+        """Completion-worker body (see _cycle_complete).  Runs off the
+        dispatch thread; only touches streaming state the cycle protocol
+        serializes behind _join_complete."""
+        import numpy as np
+
+        combined, taken_keys, pb, keys_e, payload = inflight
+        s = self.config.stream
+        V = self.config.hash.voxels_per_block
+        S = 33 + s.max_restore
+        arr = np.asarray(combined)
         n = int(arr[0])
         pose = arr[1:17].reshape(4, 4)
         vel = arr[17:33].reshape(4, 4)
@@ -454,21 +580,31 @@ class HashSLAM:
             self.store.take(
                 taken_keys, arr[33 : 33 + taken_keys.shape[0]] > 0.5
             )
-        # 5. start this cycle's evicted-payload D2H in the background
-        #    (landed next cycle; the blocks are off-map either way, and
-        #    store.add/restore merge safely if the camera re-observes
-        #    them in the gap)
+        if pb:
+            # decode the appended payload (keys travel as raw float32
+            # bit patterns; the D2H path preserves them bit-exactly —
+            # tests/test_streaming.py::test_pull_roundtrip)
+            keys_np = arr[S : S + pb].view(np.int32)
+            pay = arr[S + pb : S + pb + pb * (2 * V + 1)].reshape(
+                pb, 2 * V + 1
+            )
+            self.store.add(keys_np, pay[:, :V], pay[:, V : 2 * V],
+                           pay[:, 2 * V].astype(np.int32))
+        # keep this cycle's evicted payload for the NEXT cycle's pull
+        # (the blocks are off-map either way, and store.add/restore
+        # merge safely if the camera re-observes them in the gap).  The
+        # 128 floor bounds pull-jit shape variety, like the restore's
+        # 256 floor (transfer cost is dominated by the fixed per-call
+        # cost, so the extra padded rows are free)
         if n > 0:
-            b = _bucket(n, s.max_evict)
-            keys_slice = keys_e[:b]
-            pay_slice = payload[:b]
-            for x in (keys_slice, pay_slice):
-                x.copy_to_host_async()
-            self._pending_evict = (keys_slice, pay_slice, b)
-        # 6. query + upload the NEXT cycle's restore batch: frustum at
-        #    the constant-velocity pose ``horizon`` frames ahead (the
-        #    restore lands one interval from now, covering the interval
-        #    after; margin + max_age absorb prediction slack)
+            b = _bucket(n, s.max_evict, floor=128)
+            self._pending_evict = (keys_e[:b], payload[:b], b)
+        # query + upload the NEXT cycle's restore batch: frustum at the
+        # constant-velocity pose ``horizon`` frames ahead of the
+        # boundary (the restore dispatches one interval after the
+        # boundary, covering the interval beyond; margin + max_age
+        # absorb prediction slack, and the upload gets the remaining
+        # half interval to ship)
         if len(self.store):
             hor = 2 * s.interval if horizon is None else horizon
             pred = pose @ np.linalg.matrix_power(vel, hor)
@@ -530,10 +666,16 @@ class HashSLAM:
         return hmap
 
     def process(self, depth_raw) -> StepInfo:
-        if (self.store is not None
-                and len(self.trajectory) % self.config.stream.interval
-                == 0):
-            self._stream_cycle()
+        if self.store is not None:
+            s = self.config.stream
+            i = len(self.trajectory) % s.interval
+            if i == 0:
+                # catch-up completion guards short intervals + partial
+                # intervals after process_chunk (no-op when already done)
+                self._cycle_complete()
+                self._cycle_dispatch()
+            elif i == max(s.interval // 2, 1):
+                self._cycle_complete()
         self.state, info = self._step(self.state, jnp.asarray(depth_raw))
         self.trajectory.append(info.pose)
         self.infos.append(info)
@@ -544,13 +686,17 @@ class HashSLAM:
         dispatch (jitted ``lax.scan``); per-frame results are identical to
         K ``process`` calls.  Returns the stacked StepInfo.
 
-        With streaming enabled, one pipelined streaming cycle runs at
-        each chunk boundary (the in-chunk frames share one restore
-        prediction, looking a full chunk + interval ahead)."""
+        With streaming enabled, one streaming cycle runs at each chunk
+        boundary (the in-chunk frames share one restore prediction,
+        looking a full chunk + interval ahead); the cycle completes at
+        the next boundary, so its fetch overlaps the chunk's scan."""
         depths_raw = jnp.asarray(depths_raw)
         if self.store is not None:
             k = int(depths_raw.shape[0])
-            self._stream_cycle(horizon=k + self.config.stream.interval)
+            self._cycle_complete(
+                horizon=k + self.config.stream.interval
+            )
+            self._cycle_dispatch()
         if self._scan_step is None:
             self._scan_step = make_scan_step(self.config)
         self.state, infos = self._scan_step(self.state, depths_raw)

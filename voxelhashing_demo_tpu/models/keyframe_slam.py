@@ -852,19 +852,19 @@ class KeyframeSLAM:
         def restore_frustums(from_pose, to_pose):
             """Streaming: pull stored rows back on device for both the
             de-integration and re-integration frustums (ONE restore per
-            pose via the driver's streaming machinery)."""
+            pose via the driver's streaming machinery).  The query runs
+            on the (process-local) store; the dispatch decision is left
+            to ``_restore_keys``, which stays collective-consistent
+            under multi-process (a store-emptiness early-return here
+            would deadlock a peer whose shard has work)."""
             nonlocal n_sat
             s = self.config.stream
             for pose in (from_pose, to_pose):
-                if not len(d.store):
-                    return
-                keys = d.store.query_frustum(
+                keys = (d.store.query_frustum(
                     np.asarray(pose, np.float32), self.config.camera,
                     self.config.fusion, s.restore_margin_px,
                     s.max_restore,
-                )
-                if keys.size == 0:
-                    continue
+                ) if len(d.store) else np.zeros(0, np.int32))
                 d._restore_keys(keys)
                 # rows still stored could not come back on device: their
                 # share of the frame's contribution cannot be moved
@@ -1134,6 +1134,11 @@ class KeyframeSLAM:
             frames = (small,) + (self._zero_small,) * (wr - 1)
             np.asarray(fn(small, frames))
         g, _ = self._run_ba()   # pure: compiles BA at current capacity
+        # streaming driver: every evict/restore/pull bucket jit too
+        if getattr(self._driver, "store", None) is not None:
+            warm_stream = getattr(self._driver, "warm_stream", None)
+            if warm_stream is not None:
+                warm_stream()
         # one scalar fetch waits for the whole compile+execute chain
         _sync = float(np.asarray(model.depth.ravel()[0]))
         _sync = float(np.asarray(g.poses.ravel()[0]))

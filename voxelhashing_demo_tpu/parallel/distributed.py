@@ -1,0 +1,135 @@
+"""Multi-process (multi-host) runtime support for the sharded stack.
+
+The reference is strictly single-GPU (SURVEY.md §2b); BASELINE configs
+4-5 name 2-host TPU slices.  JAX's multi-host model is SPMD at the HOST
+level too: every process runs the same program, sees the same global
+``jax.devices()`` list, and must participate in every computation over a
+global mesh.  This module packages the three things the host wrappers
+need to be process-safe (VERDICT r4 item 3):
+
+- ``initialize()``: ``jax.distributed.initialize`` passthrough
+  (idempotent, env-var driven on TPU pods / explicit elsewhere).
+- ``global_mesh(n)``: a 1-D mesh over the GLOBAL device list — the
+  multi-host twin of ``sharded.make_mesh`` (which it now backs).
+- ``fetch(arr)`` / ``local_rows(arr)``: process-safe reads.  A
+  replicated or fully-addressable array fetches directly; an
+  axis-sharded array on a multi-host mesh is NOT fully addressable, so
+  ``fetch`` all-gathers it (collective — every process must call) while
+  ``local_rows`` returns only this process's shards (no communication —
+  the right primitive for per-process BlockStore shards).
+
+Host-logic ground rules under multi-process (documented in
+MULTIHOST.md, exercised single-process by the test suite where
+addressable == global):
+
+1. Every process feeds the SAME frames and runs the SAME wrapper code;
+   decisions derived from replicated fetches (poses, StepInfo) are
+   identical everywhere, so no explicit broadcast is needed.
+2. Anything derived from PER-PROCESS state (a BlockStore shard) must
+   not gate a device dispatch — all processes must dispatch every
+   computation over the global mesh.  The streaming cycle therefore
+   dispatches its restore with a (possibly empty) padded batch whenever
+   ``always_dispatch()`` says a peer might have one.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+
+
+def initialize(coordinator_address: str | None = None,
+               num_processes: int | None = None,
+               process_id: int | None = None) -> None:
+    """Initialize multi-process JAX (idempotent).
+
+    On TPU pods with the standard environment variables a bare
+    ``initialize()`` autodetects everything; elsewhere pass the
+    coordinator explicitly.  Call BEFORE any other jax API touches the
+    backend."""
+    if jax.process_count() > 1:
+        return  # already initialized
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs["coordinator_address"] = coordinator_address
+    if num_processes is not None:
+        kwargs["num_processes"] = num_processes
+    if process_id is not None:
+        kwargs["local_device_ids"] = None
+        kwargs["process_id"] = process_id
+    try:
+        jax.distributed.initialize(**kwargs)
+    except Exception as e:  # single-process run without a coordinator
+        if kwargs:
+            raise
+        # bare initialize() on a non-pod single process is a no-op case
+        del e
+
+
+def is_multiprocess() -> bool:
+    return jax.process_count() > 1
+
+
+def process_index() -> int:
+    return jax.process_index()
+
+
+def global_mesh(n_devices: int | None = None):
+    """1-D ("d",) mesh over the global device list (all processes' chips
+    — ``jax.devices()`` is global under multi-process JAX).  ``n``
+    limits to the first n devices (single-process tests)."""
+    from jax.sharding import Mesh
+
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), ("d",))
+
+
+def fetch(arr) -> np.ndarray:
+    """Process-safe global read of a (possibly sharded) array.
+
+    Fully-addressable (single-process, or replicated) arrays fetch
+    directly.  Otherwise every process must call this together: the
+    gather is a collective (``process_allgather``)."""
+    if isinstance(arr, np.ndarray):
+        return arr
+    if getattr(arr, "is_fully_addressable", True):
+        return np.asarray(arr)
+    if getattr(arr, "is_fully_replicated", False):
+        # replicated but multi-host: read the local copy
+        return np.asarray(arr.addressable_shards[0].data)
+    from jax.experimental import multihost_utils
+
+    return np.asarray(multihost_utils.process_allgather(arr))
+
+
+def local_rows(arr) -> np.ndarray:
+    """This process's rows of an axis-0-sharded array, concatenated in
+    shard order (no communication).  With a single process this is the
+    whole array — which is why the per-process BlockStore code paths are
+    fully exercised by the single-process test suite."""
+    if isinstance(arr, np.ndarray):
+        return arr
+    if getattr(arr, "is_fully_addressable", True):
+        return np.asarray(arr)
+    shards = sorted(
+        arr.addressable_shards, key=lambda s: s.index[0].start or 0
+    )
+    return np.concatenate([np.asarray(s.data) for s in shards])
+
+
+def shard_rows_to_global(local: np.ndarray, mesh, spec):
+    """Build a global axis-0-sharded device array from this process's
+    local rows (the restore-upload primitive: each process contributes
+    the batch slices of the devices it hosts).  Single-process this is
+    an ordinary device_put."""
+    from jax.sharding import NamedSharding
+
+    sharding = NamedSharding(mesh, spec)
+    if not is_multiprocess():
+        return jax.device_put(local, sharding)
+    from jax import make_array_from_process_local_data
+
+    return make_array_from_process_local_data(sharding, local)

@@ -57,13 +57,18 @@ def config_from_json(text: str) -> PipelineConfig:
 
 
 def _flatten(prefix: str, tree) -> dict:
+    from ..parallel import distributed
+
     out = {}
     for name, leaf in zip(tree._fields, tree):
         key = f"{prefix}.{name}"
         if hasattr(leaf, "_fields"):
             out.update(_flatten(key, leaf))
         else:
-            out[key] = np.asarray(leaf)
+            # process-safe global read: np.asarray for fully-addressable
+            # leaves, collective all-gather for multi-host sharded ones
+            # (every process must checkpoint together)
+            out[key] = distributed.fetch(leaf)
     return out
 
 
@@ -302,9 +307,13 @@ def load_sharded_slam(path: str, mesh=None):
             )
 
         def leaf(key, spec):
-            arr = z[key]
-            return jax.device_put(
-                jnp.asarray(arr), NamedSharding(mesh, spec)
+            # make_array_from_callback works identically single-process
+            # and multi-host (each process materializes only the shards
+            # it owns; every process must load together)
+            arr = np.asarray(z[key])
+            return jax.make_array_from_callback(
+                arr.shape, NamedSharding(mesh, spec),
+                lambda idx, a=arr: a[idx],
             )
 
         map_spec = sharded._map_spec()
