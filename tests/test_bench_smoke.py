@@ -64,6 +64,9 @@ def test_backend_run_and_stages():
         kf_overrides=dict(ba_defer_edges=1, ba_defer_frames=0),
     )
     assert out2["fps"] > 0
+    micro = bench._incremental_micro(CFG, hash_slam, synthetic, metrics,
+                                     num_frames=10)
+    assert micro["incremental_s"] > 0 and micro["full_rebuild_s"] > 0
     st = bench._streaming_run(CFG, hash_slam, synthetic, metrics,
                               num_frames=8)
     assert st["fps"] > 0 and st["frames"] == 9

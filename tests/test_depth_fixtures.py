@@ -32,7 +32,10 @@ from voxelhashing_demo_tpu.utils import metrics
 
 FIX = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                    "fixtures", "kinect_png16")
+FIX_LOOP = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "fixtures", "kinect_png16_loop")
 N = 8
+N_LOOP = 72
 
 
 def _load_all():
@@ -98,3 +101,56 @@ def test_tracking_on_fixture_frames():
     gt_rel = [np.linalg.inv(poses[0]) @ p for p in poses]
     ate = metrics.ate_rmse(slam.trajectory, gt_rel, align=False)
     assert ate < 0.05, f"ATE on Kinect-statistics fixtures: {ate}"
+
+
+def test_keyframe_backend_closes_loop_on_fixture_files():
+    """The LOOP fixture sequence (committed quarter-res PNG16 files of a
+    full 360-degree noisy sweep, tools/make_depth_fixtures.py) drives
+    the keyframe backend end to end on the disk-file path: keyframes
+    insert, the end-of-sweep revisit passes the loop acceptance gates
+    (observability + robust kernels), BA runs, and the corrected
+    trajectory closes the ring (VERDICT r4 item 5 — previously the
+    fixture path was frontend-only)."""
+    import dataclasses
+
+    from voxelhashing_demo_tpu.models import keyframe_slam
+    from voxelhashing_demo_tpu.utils import tum
+
+    seq = tum.TUMSequence(FIX_LOOP)
+    assert len(seq) == N_LOOP
+    cam = CameraConfig().scaled(4)
+    frames, poses = seq.load_all(cam.width, cam.height)
+    config = PipelineConfig(
+        camera=cam,
+        frontend=FrontendConfig(bilateral=True, outlier_reject=True),
+        icp=ICPConfig(pyramid=(2, 1), pyramid_iters=(8, 4),
+                      huber_delta=0.01),
+        fusion=FusionConfig(voxel_size=0.03, truncation=0.12),
+        hash=HashConfig(num_buckets=4096, bucket_size=4, num_blocks=4096,
+                        max_active=2048, max_new_per_frame=2048),
+        raycast=RaycastConfig(max_steps=96, cache_dims=(160, 160, 160)),
+        gc=GCConfig(enabled=True, interval=8),
+    )
+    config = dataclasses.replace(
+        config,
+        keyframes=dataclasses.replace(
+            config.keyframes,
+            min_loop_separation=6, loop_radius=0.35,
+            min_loop_inliers=300,
+        ),
+    )
+    slam = keyframe_slam.KeyframeSLAM(config)
+    for raw in frames:
+        slam.process(jnp.asarray(np.asarray(raw)))
+    traj = slam.trajectory()
+    tracked = sum(bool(i.tracked) for i in slam.infos)
+    assert tracked >= N_LOOP - 2, tracked
+    assert len(slam.keyframes) >= 8
+    loop_edges = slam._n_edges - (len(slam.keyframes) - 1)
+    assert loop_edges >= 1, "end-of-sweep closure must fire on files"
+    assert len(slam.ba_events) >= 1
+    assert all(np.isfinite(t).all() for t in traj)
+    gt_rel = [np.linalg.inv(np.asarray(poses[0])) @ np.asarray(p)
+              for p in poses]
+    ate = metrics.ate_rmse(traj, gt_rel, align=False)
+    assert ate < 0.08, f"backend ATE on loop fixture files: {ate}"

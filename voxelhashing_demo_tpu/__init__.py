@@ -75,13 +75,16 @@ def release_compiled() -> None:
     point; the next use recompiles (or hits the persistent on-disk
     cache)."""
     from .models import hash_slam, keyframe_slam
+    from .parallel import sharded
 
     for f in (
+        sharded.make_sharded_spill_evict,
         hash_slam.make_step,
         hash_slam.make_scan_step,
         hash_slam.make_evict,
         hash_slam.make_restore,
         hash_slam.make_pull,
+        hash_slam.make_spill_evict,
         keyframe_slam.make_fuse_only,
         keyframe_slam.make_reintegrate,
         keyframe_slam.make_render_model,

@@ -350,15 +350,23 @@ class KeyframeConfig:
     rebuild_min_trans: float = 0.02   # meters
     rebuild_min_rot_deg: float = 1.0
     # incremental reintegration: once the map is keyframe-only (after the
-    # first full rebuild), later BA corrections de-integrate + re-integrate
-    # ONLY the keyframes whose pose moved (the Curless-Levoy average is
-    # exactly invertible below the weight cap, ops/hash_ops.defuse_frame)
-    # instead of replaying all K keyframes — the full-stop rebuild hitch
-    # shrinks by the unmoved fraction.  Supported on all backends:
+    # first full rebuild), later BA corrections MAY de-integrate +
+    # re-integrate only the ledger entries whose pose moved (the
+    # Curless-Levoy average is exactly invertible below the weight cap,
+    # ops/hash_ops.defuse_frame) instead of replaying all K keyframes.
+    # MEASURED REALITY (r4/r5, rebuild_incremental_cost below): one move
+    # costs ~5x one rebuild fuse, and global drift corrections — what
+    # closed-sweep/endurance regimes produce — move most of the ledger,
+    # so the cost model resolves them as FULL rebuilds every time
+    # (BENCH_r05).  The incremental path earns its keep on LOCALIZED
+    # corrections moving a few entries (measured ~several-x faster on
+    # the same state: bench.py localized_micro) and remains the exact
+    # correctness primitive for them.  Supported on all backends:
     # sharded meshes use the owner-local twin
     # (parallel/sharded.make_sharded_reintegrate) and streaming maps
     # restore a moved frame's frustums first (evict/restore preserve the
-    # born stamps the de-integration gate needs).
+    # born stamps the de-integration gate needs, up to the residency
+    # caveat in ops/hash_ops.restore_blocks).
     rebuild_incremental: bool = True
     rebuild_move_min_trans: float = 0.005   # keyframe "moved" thresholds
     rebuild_move_min_rot_deg: float = 0.25

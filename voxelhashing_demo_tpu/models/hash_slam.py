@@ -290,6 +290,37 @@ def make_restore(config: PipelineConfig, batch: int):
 
 
 @functools.lru_cache(maxsize=None)
+def make_spill_evict(config: PipelineConfig, cap: int):
+    """Jitted evict-and-append into a device-side SPILL buffer (map and
+    spill donated).
+
+    The streaming map rebuild (keyframe backend) evicts after every
+    keyframe fuse; pulling each batch host-side separately costs a fixed
+    ~100-150 ms transfer on the tunnel (tools/exp_stream_prof.py), which
+    made a 20-keyframe rebuild pay ~3 s of wire time.  Appending each
+    round's evictions into a ``cap``-row device buffer instead makes the
+    whole rebuild ONE pull (models/keyframe_slam._rebuild_map).  Rows
+    beyond ``cap`` are dropped; the returned count keeps growing so the
+    caller can detect and surface the overflow."""
+    s = config.stream
+
+    def evict_append(hmap, frame_idx, spill_keys, spill_payload, count):
+        hmap, keys, tsdf, weight, born, n = hash_ops.evict_stale(
+            hmap, config.hash, frame_idx, s.max_age, s.max_evict
+        )
+        payload = jnp.concatenate(
+            [tsdf, weight, born.astype(jnp.float32)[:, None]], axis=1
+        )
+        pos = jnp.arange(keys.shape[0], dtype=jnp.int32)
+        idx = jnp.where(pos < n, count + pos, cap)
+        spill_keys = spill_keys.at[idx].set(keys, mode="drop")
+        spill_payload = spill_payload.at[idx].set(payload, mode="drop")
+        return hmap, spill_keys, spill_payload, count + n
+
+    return jax.jit(evict_append, donate_argnums=(0, 2, 3))
+
+
+@functools.lru_cache(maxsize=None)
 def make_pull(config: PipelineConfig, batch: int):
     """Jitted D2H pack for the streaming cycle: concatenates the sync
     record with a ``batch``-row evicted payload (keys as float32 bit
@@ -506,10 +537,14 @@ class HashSLAM:
             if b >= s.max_evict:
                 break
             b *= 2
+        # rebuild spill path (the keyframe backend's streaming rebuild)
+        spill = self.spill_begin()
+        hm = self.spill_evict(hm, 0, spill)
         # one scalar fetch waits for the whole compile+execute chain
         _ = float(np.asarray(out.ravel()[0]))
         _ = float(np.asarray(acc.ravel()[0]))
-        del hm, keys_e, payload
+        _ = float(np.asarray(spill["count"]))
+        del hm, keys_e, payload, spill
 
     def _cycle_dispatch(self) -> None:
         """Interval-boundary half of the streaming cycle: device
@@ -664,6 +699,54 @@ class HashSLAM:
                       arr[:, V : 2 * V],
                       arr[:, 2 * V].astype(np.int32))
         return hmap
+
+    # -- rebuild spill session (keyframe backend's streaming map rebuild) --
+
+    def spill_begin(self) -> dict:
+        """Fresh device spill buffer for a streaming map rebuild: evicted
+        rows accumulate ON DEVICE across the rebuild's per-keyframe
+        evictions and land in the host store with ONE pull
+        (``spill_finish``) — per-round host pulls cost a fixed
+        ~100-150 ms transfer each on a remote chip, which made a
+        20-keyframe rebuild pay ~3 s of wire time (measured r5)."""
+        from ..geometry.coords import EMPTY_KEY
+
+        cap = 4 * self.config.hash.num_blocks
+        V = self.config.hash.voxels_per_block
+        return {
+            "cap": cap,
+            "keys": jnp.full((cap,), EMPTY_KEY, jnp.int32),
+            "payload": jnp.zeros((cap, 2 * V + 1), jnp.float32),
+            "count": jnp.int32(0),
+        }
+
+    def spill_evict(self, hmap, frame_idx, spill: dict):
+        """Evict stale blocks from ``hmap`` into the spill buffer
+        (device dispatch only, no host sync)."""
+        fn = make_spill_evict(self.config, spill["cap"])
+        hmap, k, p, c = fn(
+            hmap, jnp.int32(frame_idx), spill["keys"],
+            spill["payload"], spill["count"],
+        )
+        spill.update(keys=k, payload=p, count=c)
+        return hmap
+
+    def spill_finish(self, spill: dict, store) -> int:
+        """Pull the spill buffer into ``store`` (one transfer).  Returns
+        the number of rows DROPPED to buffer overflow (0 normally; the
+        caller surfaces it, never silent)."""
+        import numpy as np
+
+        n = int(np.asarray(spill["count"]))
+        if n == 0:
+            return 0
+        cap = spill["cap"]
+        b = _bucket(min(n, cap), cap)
+        V = self.config.hash.voxels_per_block
+        arr = np.asarray(spill["payload"][:b])
+        store.add(np.asarray(spill["keys"][:b]), arr[:, :V],
+                  arr[:, V : 2 * V], arr[:, 2 * V].astype(np.int32))
+        return max(0, n - cap)
 
     def process(self, depth_raw) -> StepInfo:
         if self.store is not None:

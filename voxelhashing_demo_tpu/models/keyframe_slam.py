@@ -959,6 +959,7 @@ class KeyframeSLAM:
         # eviction interleaves with reintegration exactly as it does live
         streaming = getattr(self._driver, "store", None) is not None
         new_store = None
+        spill = None
         if streaming:
             from ..utils.blockstore import BlockStore
 
@@ -966,6 +967,11 @@ class KeyframeSLAM:
             # in-flight prefetch/evicted payload references the OLD store
             self._driver.stream_sync()
             new_store = BlockStore(self.config.hash)
+            # evictions accumulate in a device spill buffer and land with
+            # ONE host pull after the loop — a per-keyframe pull costs a
+            # fixed ~150 ms transfer on a remote chip (measured r5:
+            # ~3 s of wire time per 20-keyframe rebuild)
+            spill = self._driver.spill_begin()
         for rec in self.keyframes:
             d = (rec.depth_dev if rec.depth_dev is not None
                  else jnp.asarray(rec.depth_raw))
@@ -976,12 +982,21 @@ class KeyframeSLAM:
             )
             rec.map_pose = poses[rec.index].astype(np.float32).copy()
             if streaming:
-                hmap = self._driver._evict_into(
-                    hmap, jnp.int32(rec.frame_index), new_store
+                hmap = self._driver.spill_evict(
+                    hmap, rec.frame_index, spill
                 )
         model = self._render_model(hmap, self.state.pose)
         self.state = self.state._replace(hmap=hmap, model=model)
         if streaming:
+            overflow = self._driver.spill_finish(spill, new_store)
+            if overflow:
+                # bounded geometry loss (off-frustum rows beyond the
+                # spill capacity), surfaced like every capacity event
+                self.capacity_events.append({
+                    "frame": self._frame_idx,
+                    "kind": "rebuild_spill_overflow",
+                    "capacity": overflow,
+                })
             self._driver.store = new_store
         # the ledger now accounts for every contribution in the map;
         # fusions dispatched into the pre-rebuild map are gone with it

@@ -27,6 +27,7 @@ Everything runs inside ONE shard_map-ped jit per frame.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from functools import partial
 import jax
 import jax.numpy as jnp
@@ -670,6 +671,39 @@ def make_sharded_restore(config: PipelineConfig, mesh: Mesh):
     return jax.jit(fn, donate_argnums=0)
 
 
+@functools.lru_cache(maxsize=None)
+def make_sharded_spill_evict(config: PipelineConfig, mesh: Mesh,
+                             cap_per_dev: int):
+    """Sharded twin of models/hash_slam.make_spill_evict: each device
+    appends its own evictions into its ``cap_per_dev``-row slice of the
+    spill buffer (owner-local, no collectives).  Per-device counts ride
+    as a (n,)-sharded vector."""
+    n = mesh.devices.size
+    lcfg = local_hash_config(config.hash, n)
+    s = config.stream
+
+    def _local(hmap, frame_idx, sk, sp, cnt):
+        hmap, keys, tsdf, weight, born, m = hash_ops.evict_stale(
+            hmap, lcfg, frame_idx, s.max_age, s.max_evict // n
+        )
+        payload = jnp.concatenate(
+            [tsdf, weight, born.astype(jnp.float32)[:, None]], axis=1
+        )
+        pos = jnp.arange(keys.shape[0], dtype=jnp.int32)
+        idx = jnp.where(pos < m, cnt[0] + pos, cap_per_dev)
+        sk = sk.at[idx].set(keys, mode="drop")
+        sp = sp.at[idx].set(payload, mode="drop")
+        return hmap, sk, sp, cnt + m
+
+    fn = jax.shard_map(
+        _local,
+        mesh=mesh,
+        in_specs=(_map_spec(), P(), P(AXIS), P(AXIS), P(AXIS)),
+        out_specs=(_map_spec(), P(AXIS), P(AXIS), P(AXIS)),
+    )
+    return jax.jit(fn, donate_argnums=(0, 2, 3))
+
+
 def optimize_graph_sharded(graph, kcfg, mesh):
     """Distributed bundle adjustment: edges sharded over the mesh, normal
     equations ``psum``-reduced, identical solve replicated on every device.
@@ -981,6 +1015,68 @@ class ShardedHashSLAM:
                 distributed.local_rows(born),
             )
         return hmap
+
+    # -- rebuild spill session (interface twin of HashSLAM's) ---------------
+
+    def spill_begin(self) -> dict:
+        """Per-device spill buffers for a streaming map rebuild (see
+        models/hash_slam.HashSLAM.spill_begin)."""
+        import numpy as np
+
+        from ..geometry.coords import EMPTY_KEY
+        from . import distributed
+
+        n = self.mesh.devices.size
+        cap = max(4 * self.config.hash.num_blocks // n, 1)
+        V = self.config.hash.voxels_per_block
+        return {
+            "cap": cap,
+            "keys": distributed.shard_rows_to_global(
+                np.full((n * cap,), int(EMPTY_KEY), np.int32),
+                self.mesh, P(AXIS),
+            ),
+            "payload": distributed.shard_rows_to_global(
+                np.zeros((n * cap, 2 * V + 1), np.float32),
+                self.mesh, P(AXIS),
+            ),
+            "count": distributed.shard_rows_to_global(
+                np.zeros((n,), np.int32), self.mesh, P(AXIS),
+            ),
+        }
+
+    def spill_evict(self, hmap, frame_idx, spill: dict):
+        fn = make_sharded_spill_evict(self.config, self.mesh,
+                                      spill["cap"])
+        hmap, k, p, c = fn(
+            hmap, jnp.int32(frame_idx), spill["keys"],
+            spill["payload"], spill["count"],
+        )
+        spill.update(keys=k, payload=p, count=c)
+        return hmap
+
+    def spill_finish(self, spill: dict, store) -> int:
+        """Land each LOCAL device's spilled rows into the (per-process)
+        store; returns rows dropped to per-device overflow."""
+        import numpy as np
+
+        from . import distributed
+
+        counts = distributed.local_rows(spill["count"])
+        keys = distributed.local_rows(spill["keys"])
+        payload = distributed.local_rows(spill["payload"])
+        cap = spill["cap"]
+        V = self.config.hash.voxels_per_block
+        overflow = 0
+        for j, c in enumerate(np.asarray(counts)):
+            m = int(min(int(c), cap))
+            overflow += max(0, int(c) - cap)
+            if m == 0:
+                continue
+            seg = slice(j * cap, j * cap + m)
+            p = payload[seg]
+            store.add(keys[seg], p[:, :V], p[:, V : 2 * V],
+                      p[:, 2 * V].astype(np.int32))
+        return overflow
 
     def process(self, depth_raw) -> StepInfo:
         if (self.store is not None
