@@ -179,6 +179,91 @@ def test_block_sparse_build_matches_dense_jacfwd():
         np.testing.assert_allclose(float(c2s), float(c2d), rtol=1e-5)
 
 
+def test_cg_step_matches_dense_solve():
+    """One GN step via matrix-free block-Jacobi CG must reproduce the
+    dense Cholesky step (same damped, anchored system) — including with
+    IRLS robust weights.  VERDICT r4 item 7: the scale-proof solver must
+    hit equal convergence, not just 'converge'."""
+    import jax
+
+    graph = _random_graph(K=9, E=16, cap_K=16, cap_E=24)
+    for delta in (None, 0.1):
+        cfg = KeyframeConfig(ba_cg_iters=200, ba_cg_tol=1e-7)
+        H, b, _ = pose_graph.build_normal_equations(graph, delta)
+        K = graph.poses.shape[0]
+        anchor = jnp.zeros((K * 6,)).at[:6].set(1e6)
+        A = H + jnp.diag(anchor) + cfg.ba_damping * jnp.eye(K * 6)
+        dense = np.asarray(
+            jax.scipy.linalg.solve(A, -b, assume_a="pos")
+        ).reshape(K, 6)
+        cg = np.asarray(pose_graph.solve_delta_cg(graph, delta, cfg))
+        np.testing.assert_allclose(cg, dense, rtol=1e-3, atol=1e-5)
+
+
+def test_cg_optimize_equal_convergence():
+    """Full optimize() with ba_solver='cg' reaches the dense solver's
+    basin on the drifted-ring problem: same chi2 class, same ATE class,
+    pads untouched, anchor fixed."""
+    K, cap = 24, 48
+    gt = _ring_poses(K)
+    rng = np.random.RandomState(5)
+    est = [gt[0]]
+    for i in range(K - 1):
+        z = _rel(gt[i], gt[i + 1])
+        noise = np.concatenate(
+            [rng.normal(0, 0.02, 3), rng.normal(0, 0.01, 3)]
+        ).astype(np.float32)
+        est.append(est[-1] @ (z @ np.asarray(se3.exp(jnp.asarray(noise)))))
+    graph = pose_graph.create(cap, 2 * cap)
+    for T in est:
+        graph = pose_graph.add_pose(graph, jnp.asarray(T))
+    for i in range(K - 1):
+        graph = pose_graph.add_edge(
+            graph, i, i + 1, jnp.asarray(_rel(gt[i], gt[i + 1]))
+        )
+    graph = pose_graph.add_edge(
+        graph, K - 1, 0, jnp.asarray(_rel(gt[K - 1], gt[0]))
+    )
+
+    outs = {}
+    for solver in ("dense", "cg"):
+        cfg = KeyframeConfig(ba_iters=10, ba_solver=solver)
+        out, info = pose_graph.optimize(graph, cfg)
+        outs[solver] = (out, float(info.chi2_final))
+    assert outs["cg"][1] < 1e-7
+    assert outs["cg"][1] < 10 * max(outs["dense"][1], 1e-10) + 1e-9
+    np.testing.assert_allclose(
+        np.asarray(outs["cg"][0].poses[:K]),
+        np.asarray(outs["dense"][0].poses[:K]),
+        atol=5e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(outs["cg"][0].poses[cap - 8:]),
+        np.broadcast_to(np.eye(4, dtype=np.float32), (8, 4, 4)),
+        atol=1e-5,
+    )
+
+
+def test_auto_solver_switches_at_capacity():
+    """'auto' must trace the dense solve below ba_dense_max_k and the
+    matrix-free CG solve above it (a static, capacity-keyed choice)."""
+    import jax
+
+    small = pose_graph.create(8, 8)
+    big = pose_graph.create(16, 8)
+    cfg = KeyframeConfig(ba_iters=1, ba_dense_max_k=8)
+    txt_small = str(
+        jax.make_jaxpr(lambda g: pose_graph.optimize(g, cfg))(small)
+    )
+    txt_big = str(
+        jax.make_jaxpr(lambda g: pose_graph.optimize(g, cfg))(big)
+    )
+    # the dense path factors a (6K, 6K) Cholesky; CG never builds one
+    assert "cholesky" in txt_small
+    assert "48,48" in txt_small.replace(" ", "")
+    assert "96,96" not in txt_big.replace(" ", "")
+
+
 def test_optimize_at_k256_capacity():
     """BA at large padded capacity (VERDICT r3 item 3: the O(E*K) build
     forced the bench to right-size capacity to 32 poses; the block-sparse

@@ -85,7 +85,9 @@ def release_compiled() -> None:
         hash_slam.make_restore,
         hash_slam.make_pull,
         hash_slam.make_spill_evict,
+        hash_slam.make_spill_head,
         keyframe_slam.make_fuse_only,
+        keyframe_slam._ba_pack,
         keyframe_slam.make_reintegrate,
         keyframe_slam.make_render_model,
         keyframe_slam._make_batch_icps,

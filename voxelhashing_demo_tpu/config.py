@@ -267,6 +267,25 @@ class KeyframeConfig:
     min_translation: float = 0.15    # ... or translation (meters) this
     ba_iters: int = 5
     ba_damping: float = 1e-4
+    # Inner linear solver for the GN step.  "dense": Cholesky on the
+    # materialized (6K, 6K) system — exact, O(K^2) memory / O(K^3) solve,
+    # right answer for the benched K <= 256.  "cg": matrix-free
+    # block-Jacobi-preconditioned conjugate gradients on the per-edge
+    # 6x6 block structure — H is never materialized, each iteration is
+    # O(E) gather/scatter + (K, 6, 6) block solves, so memory and
+    # per-iteration cost are flat in K (ops/pose_graph.solve_delta_cg).
+    # "auto" (default): dense while the graph capacity K <=
+    # ba_dense_max_k, CG beyond — the switch is a static-shape decision,
+    # so it costs one recompile at the capacity-growth step that crosses
+    # the threshold, nothing per frame.
+    ba_solver: str = "auto"
+    ba_dense_max_k: int = 128
+    # CG iteration cap and relative-residual stop (||r|| <= tol * ||b||).
+    # The preconditioned system is extremely well conditioned for SLAM
+    # graphs (odometry chain + sparse closures): measured convergence to
+    # float32 parity with the dense solve in << 64 iterations.
+    ba_cg_iters: int = 64
+    ba_cg_tol: float = 1e-6
     # BA scheduling: run the optimizer only once this many NEW accepted
     # loop edges have accumulated since the last run, or once the oldest
     # pending edge has waited ba_defer_frames frames (whichever first).

@@ -321,6 +321,22 @@ def make_spill_evict(config: PipelineConfig, cap: int):
 
 
 @functools.lru_cache(maxsize=None)
+def make_spill_head(config: PipelineConfig, cap: int):
+    """Jitted D2H pack of a spill buffer's [count | keys-bits]: one
+    32 KB-class transfer instead of two fixed-cost pulls (the count
+    fetch that sizes the payload bucket and a separate keys fetch cost a
+    ~100-150 ms fixed transfer each on the tunnel)."""
+
+    def head(count, keys):
+        return jnp.concatenate([
+            count[None].astype(jnp.float32),
+            jax.lax.bitcast_convert_type(keys, jnp.float32),
+        ])
+
+    return jax.jit(head)
+
+
+@functools.lru_cache(maxsize=None)
 def make_pull(config: PipelineConfig, batch: int):
     """Jitted D2H pack for the streaming cycle: concatenates the sync
     record with a ``batch``-row evicted payload (keys as float32 bit
@@ -732,19 +748,26 @@ class HashSLAM:
         return hmap
 
     def spill_finish(self, spill: dict, store) -> int:
-        """Pull the spill buffer into ``store`` (one transfer).  Returns
-        the number of rows DROPPED to buffer overflow (0 normally; the
-        caller surfaces it, never silent)."""
+        """Pull the spill buffer into ``store``.  Two transfers: a
+        32 KB-class [count | keys] head (which also drains the rebuild's
+        queued fuse/evict dispatches) sizes the payload bucket, then the
+        payload rows ride one sized pull.  Returns the number of rows
+        DROPPED to buffer overflow (0 normally; the caller surfaces it,
+        never silent)."""
         import numpy as np
 
-        n = int(np.asarray(spill["count"]))
+        head = np.asarray(make_spill_head(self.config, spill["cap"])(
+            spill["count"], spill["keys"]
+        ))
+        n = int(head[0])
         if n == 0:
             return 0
         cap = spill["cap"]
+        keys_np = head[1:].view(np.int32)
         b = _bucket(min(n, cap), cap)
         V = self.config.hash.voxels_per_block
         arr = np.asarray(spill["payload"][:b])
-        store.add(np.asarray(spill["keys"][:b]), arr[:, :V],
+        store.add(keys_np[:b], arr[:, :V],
                   arr[:, V : 2 * V], arr[:, 2 * V].astype(np.int32))
         return max(0, n - cap)
 

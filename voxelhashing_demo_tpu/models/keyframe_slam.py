@@ -209,6 +209,21 @@ def _make_kf_pre(cam, frontend, downsample: int, lcam):
     return jax.jit(kf_pre)
 
 
+@functools.lru_cache(maxsize=None)
+def _ba_pack(K: int):
+    """Jitted fixed-shape pack of a BA solve's outputs — full (K, 4, 4)
+    poses + chi2 pair — so ONE transfer (and one compiled op shape,
+    keyed by the graph capacity only) serves every post-solve fetch; see
+    KeyframeSLAM._fetch_ba for the measured motivation."""
+
+    def pack(poses, c0, c1):
+        return jnp.concatenate(
+            [poses.reshape(-1), jnp.stack([c0, c1])]
+        )
+
+    return jax.jit(pack)
+
+
 def _rot_deg_np(T: np.ndarray) -> float:
     """Rotation angle of a 4x4 (or 3x3) transform, degrees, pure numpy."""
     c = (float(np.trace(np.asarray(T)[:3, :3])) - 1.0) / 2.0
@@ -289,6 +304,10 @@ class KeyframeSLAM:
         self._frame_refs: List[tuple] = []
         self.infos = []
         self.ba_events = []
+        self._last_rebuild_detail = None
+        # per-insert wall-clock laps (pre/cand/fwd/rev) — the backend's
+        # in-loop hitch budget lives in these
+        self._kf_insert_s: List[dict] = []
         # graph capacity growth / saturation record (never silent:
         # VERDICT r2 weakness 2).  With kcfg.grow_on_capacity the graph
         # doubles on demand and ``saturated`` stays False; without it,
@@ -529,6 +548,16 @@ class KeyframeSLAM:
         )
 
     def _insert_keyframe(self, pose_np: np.ndarray, depth_raw) -> None:
+        import time as _time
+        _t = {"start": _time.perf_counter()}
+
+        def _lap(name):
+            now = _time.perf_counter()
+            _t[name] = round(
+                _t.get(name, 0.0) + (now - _t["start"]), 4
+            )
+            _t["start"] = now
+
         k = len(self.keyframes)
         if not self._ensure_pose_capacity():
             return
@@ -540,6 +569,7 @@ class KeyframeSLAM:
         rec = _KeyframeRecord(index=k, frame_index=self._frame_idx,
                               frame=small,
                               depth_dev=jnp.asarray(depth_raw))
+        _lap("pre_s")
 
         loop_closed = False
         if k > 0:
@@ -571,9 +601,11 @@ class KeyframeSLAM:
                     np.linalg.inv(self._poses_np[r.index]) @ pose_np
                 )
 
+            _lap("cand_s")
             Ts, errs, cnts, obs = self._run_batch("fwd", small,
                                                   [c.frame for c in cands],
                                                   inits, width)
+            _lap("fwd_s")
             # odometry edge: pair-ICP refinement (fall back to the
             # tracked relative pose on a failed/degenerate solve) or the
             # tracked pose directly (kcfg.odometry_source)
@@ -600,6 +632,7 @@ class KeyframeSLAM:
                     if np.isfinite(rT[j]).all()
                     and self._mutual_ok_np(Ts[i] @ rT[j])
                 ]
+                _lap("rev_s")
             for i in passing:
                 if not self._ensure_edge_capacity():
                     break
@@ -612,6 +645,8 @@ class KeyframeSLAM:
             if self._pending_ba_edges == 0:
                 self._pending_ba_since = self._frame_idx
             self._pending_ba_edges += 1
+        _t.pop("start", None)
+        self._kf_insert_s.append(_t)
         return self._maybe_optimize()
 
     def _maybe_optimize(self, force: bool = False):
@@ -645,6 +680,24 @@ class KeyframeSLAM:
             return c2
         return (c2 @ corr).astype(np.float32) if c2 is not None else corr
 
+    def _fetch_ba(self, info):
+        """ONE fixed-shape packed transfer for a BA solve's outputs:
+        full (K, 4, 4) poses + both chi2 scalars.  A per-``n_poses``
+        slice fetch (``graph.poses[:n]``) compiles a DISTINCT eager
+        slice op for every keyframe count — each first use costs ~1.1 s
+        of remote compile on the tunnel even with the persistent cache
+        (same class as the restore-jit colds, tools/exp_restore_cost.py)
+        — and the separate eager chi2 ``jnp.stack`` fetch cost another
+        (measured 1.10 s inside the composed regime's one BA event).
+        The pack is keyed by the graph capacity K only (recompiles
+        O(log K) times under growth), and ``warm_compile`` covers it.
+        Returns (poses_np (K, 4, 4), chi2_np (2,))."""
+        arr = np.asarray(_ba_pack(self.graph.poses.shape[0])(
+            self.graph.poses, info.chi2_initial, info.chi2_final
+        ))
+        K = self.graph.poses.shape[0]
+        return arr[: K * 16].reshape(K, 4, 4), arr[K * 16:]
+
     def _optimize(self) -> np.ndarray:
         """Run BA, propagate the last-keyframe correction to the live
         tracking pose, and — when the correction is significant — rebuild
@@ -661,14 +714,14 @@ class KeyframeSLAM:
         old_last = self._poses_np[last_idx].copy()
         self.graph, info = self._run_ba()
         # refresh the host mirror from the optimized device graph
-        self._poses_np[: self._n_poses] = np.asarray(
-            self.graph.poses[: self._n_poses]
-        )
+        poses_all, chi2_np = self._fetch_ba(info)
+        self._poses_np[: self._n_poses] = poses_all[: self._n_poses]
         t_ba = _time.perf_counter() - t0
         new_last = self._poses_np[last_idx]
         correction = (new_last @ np.linalg.inv(old_last)).astype(np.float32)
         self._apply_correction(jnp.asarray(correction))
-        return self._post_ba(correction, info, last_idx, t_ba)
+        return self._post_ba(correction, info, last_idx, t_ba,
+                             chi2_np=chi2_np)
 
     def _dispatch_ba(self) -> None:
         """Async BA (kcfg.ba_async): dispatch the solve WITHOUT fetching
@@ -696,7 +749,7 @@ class KeyframeSLAM:
         fl = self._ba_inflight
         self._ba_inflight = None
         n0 = fl["n0"]
-        opt = np.asarray(self.graph.poses[: self._n_poses])
+        opt, chi2_np = self._fetch_ba(fl["info"])
         t_ba = _time.perf_counter() - fl["t0"]
         new_last = opt[fl["last_idx"]]
         correction = (
@@ -714,9 +767,11 @@ class KeyframeSLAM:
                 poses=jnp.asarray(self._poses_np)
             )
         self._apply_correction(jnp.asarray(correction))
-        return self._post_ba(correction, fl["info"], fl["last_idx"], t_ba)
+        return self._post_ba(correction, fl["info"], fl["last_idx"], t_ba,
+                             chi2_np=chi2_np)
 
-    def _post_ba(self, correction, info, last_idx, t_ba) -> np.ndarray:
+    def _post_ba(self, correction, info, last_idx, t_ba,
+                 chi2_np=None) -> np.ndarray:
         """Shared post-solve tail: map resolution (cost-based full vs
         incremental) + the BA event record."""
         import time as _time
@@ -740,7 +795,11 @@ class KeyframeSLAM:
                 # cost-based choice: a correction that moves most of the
                 # ledger resolves cheaper as a fresh rebuild (one fuse
                 # per keyframe) than as per-entry de/re-integration
+                _tc = _time.perf_counter()
                 moved = self._count_moved()
+                self._t_count_moved = round(
+                    _time.perf_counter() - _tc, 4
+                )
                 if (
                     moved * self.kcfg.rebuild_incremental_cost
                     > max(len(self.keyframes), 1)
@@ -757,7 +816,11 @@ class KeyframeSLAM:
         else:
             n_sat = 0
 
-        chi2 = np.asarray(jnp.stack([info.chi2_initial, info.chi2_final]))
+        _tc = _time.perf_counter()
+        chi2 = (chi2_np if chi2_np is not None else
+                np.asarray(jnp.stack([info.chi2_initial,
+                                      info.chi2_final])))
+        _t_chi2 = round(_time.perf_counter() - _tc, 4)
         event = {
             "frame": self._frame_idx,
             "keyframes": last_idx + 1,
@@ -776,6 +839,13 @@ class KeyframeSLAM:
             "ba_s": round(t_ba, 4),
             "rebuild_s": round(_time.perf_counter() - t1, 4),
         }
+        if rebuilt and mode == "full" and self._last_rebuild_detail:
+            d = dict(self._last_rebuild_detail)
+            d["chi2_fetch_s"] = _t_chi2
+            if getattr(self, "_t_count_moved", None) is not None:
+                d["count_moved_s"] = self._t_count_moved
+                self._t_count_moved = None
+            event["rebuild_detail"] = d
         if n_sat:
             # frustum visible-set saturation during de/re-integration:
             # compact_visible capped at max_active, so some rows the
@@ -943,9 +1013,18 @@ class KeyframeSLAM:
         thinner weight field for globally consistent geometry."""
         # one fetch, and resync the host mirror (tests drive this method
         # directly after editing the device graph)
+        import time as _time
+        _t = {"start": _time.perf_counter()}
+
+        def _lap(name):
+            now = _time.perf_counter()
+            _t[name] = round(now - _t["start"], 4)
+            _t["start"] = now
+
         poses = np.asarray(self.graph.poses)
         self._poses_np[: self._n_poses] = poses[: self._n_poses]
         self._ensure_jits()
+        _lap("pose_fetch_s")
         if self.mesh is None:
             hmap = hash_ops.create(self.config.hash)
         else:
@@ -966,6 +1045,7 @@ class KeyframeSLAM:
             # quiesce the driver's pipelined streaming cycle first: an
             # in-flight prefetch/evicted payload references the OLD store
             self._driver.stream_sync()
+            _lap("stream_sync_s")
             new_store = BlockStore(self.config.hash)
             # evictions accumulate in a device spill buffer and land with
             # ONE host pull after the loop — a per-keyframe pull costs a
@@ -985,10 +1065,12 @@ class KeyframeSLAM:
                 hmap = self._driver.spill_evict(
                     hmap, rec.frame_index, spill
                 )
+        _lap("fuse_dispatch_s")
         model = self._render_model(hmap, self.state.pose)
         self.state = self.state._replace(hmap=hmap, model=model)
         if streaming:
             overflow = self._driver.spill_finish(spill, new_store)
+            _lap("spill_finish_s")
             if overflow:
                 # bounded geometry loss (off-frustum rows beyond the
                 # spill capacity), surfaced like every capacity event
@@ -997,6 +1079,12 @@ class KeyframeSLAM:
                     "kind": "rebuild_spill_overflow",
                     "capacity": overflow,
                 })
+            # the run's evict/restore totals survive the swap (the fresh
+            # store starts at the OLD store's counters plus its own spill
+            # intake) — without this the bench's composed section showed
+            # restored=0 for a run whose mid-run cycles restored plenty
+            new_store.total_evicted += self._driver.store.total_evicted
+            new_store.total_restored += self._driver.store.total_restored
             self._driver.store = new_store
         # the ledger now accounts for every contribution in the map;
         # fusions dispatched into the pre-rebuild map are gone with it
@@ -1004,6 +1092,8 @@ class KeyframeSLAM:
         self._ring_overflow = False
         self._map_ledgered = True
         self._map_epoch += 1
+        _t.pop("start", None)
+        self._last_rebuild_detail = _t
 
     # -- tracking-lost recovery ----------------------------------------------
 
@@ -1148,7 +1238,11 @@ class KeyframeSLAM:
             )
             frames = (small,) + (self._zero_small,) * (wr - 1)
             np.asarray(fn(small, frames))
-        g, _ = self._run_ba()   # pure: compiles BA at current capacity
+        g, wi = self._run_ba()  # pure: compiles BA at current capacity
+        # ... and the packed post-solve fetch at the same capacity
+        np.asarray(_ba_pack(g.poses.shape[0])(
+            g.poses, wi.chi2_initial, wi.chi2_final
+        ))
         # streaming driver: every evict/restore/pull bucket jit too
         if getattr(self._driver, "store", None) is not None:
             warm_stream = getattr(self._driver, "warm_stream", None)

@@ -15,8 +15,14 @@ Design (TPU-first):
   T_i <- T_i · exp(xi_i); each edge's exact 6x12 Jacobian block pair is
   computed per edge (vmapped forward-mode through exp/log) and
   scatter-added into the block-sparse normal matrix — O(E) build cost,
-  independent of the graph capacity K, then one MXU-sized dense Cholesky
-  (6K x 6K; K=256 -> 1536^2, still trivial for the MXU).
+  independent of the graph capacity K.  Two inner solvers share that
+  build (``KeyframeConfig.ba_solver``): a dense 6K x 6K Cholesky
+  (exact; K=256 -> 1536^2, trivial for the MXU) while K is small, and
+  matrix-free block-Jacobi-preconditioned CG (``solve_delta_cg``) —
+  O(E) per iteration, H never materialized — once the graph outgrows
+  it; "auto" switches at the static capacity, so long runs get the
+  scale-proof solve with one extra recompile and short runs pay
+  nothing.
 - Gauge freedom is fixed by an anchor prior on pose 0; Levenberg damping
   makes unconstrained (padded) poses a no-op instead of a singularity.
 - The whole optimization (build J -> H -> solve -> retract, iterated) runs
@@ -214,6 +220,35 @@ def build_normal_equations(
     blocks the same way).
     """
     K = graph.poses.shape[0]
+    i_idx, j_idx, Hii, Hij, Hjj, bblk, chi2 = _edge_blocks(
+        graph, robust_delta, robust_kernel
+    )
+    # four 6x6 blocks per edge, scatter-added into the (K, K, 6, 6)
+    # block matrix (padding edges have w=0 -> zero blocks)
+    Hblk = jnp.zeros((K, K, 6, 6), dtype=jnp.float32)
+    Hblk = Hblk.at[i_idx, i_idx].add(Hii)
+    Hblk = Hblk.at[i_idx, j_idx].add(Hij)
+    Hblk = Hblk.at[j_idx, i_idx].add(jnp.swapaxes(Hij, 1, 2))
+    Hblk = Hblk.at[j_idx, j_idx].add(Hjj)
+    Hn = Hblk.transpose(0, 2, 1, 3).reshape(K * 6, K * 6)
+    return Hn, bblk.reshape(-1), chi2
+
+
+def _edge_blocks(
+    graph: PoseGraph,
+    robust_delta=None,
+    robust_kernel: str = "gm",
+):
+    """Per-edge 6x6 GN blocks — the shared O(E) build both solvers use.
+
+    Returns ``(i_idx, j_idx, Hii, Hij, Hjj, bblk, chi2)`` where
+    ``Hii/Hij/Hjj`` are the edge's (E, 6, 6) contributions to the
+    (i, i) / (i, j) / (j, j) blocks of H ((j, i) is ``Hij^T``) and
+    ``bblk`` is the assembled (K, 6) gradient.  Nothing K x K is ever
+    materialized here; the dense path scatters these into the full block
+    matrix, the CG path consumes them directly as the matvec operands.
+    """
+    K = graph.poses.shape[0]
     if isinstance(robust_delta, (int, float)) and robust_delta <= 0:
         robust_delta = None
     ew = (robust_edge_weights(graph, robust_delta, robust_kernel)
@@ -241,26 +276,108 @@ def build_normal_equations(
     wJi = Ji * ew[:, None, None]
     wJj = Jj * ew[:, None, None]
 
-    # four 6x6 blocks per edge, scatter-added into the (K, K, 6, 6)
-    # block matrix (padding edges have w=0 -> zero blocks)
     Hii = jnp.einsum("eab,eac->ebc", wJi, Ji)
     Hij = jnp.einsum("eab,eac->ebc", wJi, Jj)
     Hjj = jnp.einsum("eab,eac->ebc", wJj, Jj)
-    Hblk = jnp.zeros((K, K, 6, 6), dtype=jnp.float32)
-    Hblk = Hblk.at[i_idx, i_idx].add(Hii)
-    Hblk = Hblk.at[i_idx, j_idx].add(Hij)
-    Hblk = Hblk.at[j_idx, i_idx].add(jnp.swapaxes(Hij, 1, 2))
-    Hblk = Hblk.at[j_idx, j_idx].add(Hjj)
-    Hn = Hblk.transpose(0, 2, 1, 3).reshape(K * 6, K * 6)
 
     bi = jnp.einsum("eab,ea->eb", wJi, r)
     bj = jnp.einsum("eab,ea->eb", wJj, r)
     bblk = jnp.zeros((K, 6), dtype=jnp.float32)
     bblk = bblk.at[i_idx].add(bi).at[j_idx].add(bj)
-    bn = bblk.reshape(-1)
 
     chi2 = jnp.sum(ew * jnp.sum(r * r, axis=-1))
-    return Hn, bn, chi2
+    return i_idx, j_idx, Hii, Hij, Hjj, bblk, chi2
+
+
+def solve_delta_cg(
+    graph: PoseGraph,
+    robust_delta,
+    cfg: KeyframeConfig,
+) -> jnp.ndarray:
+    """GN step by matrix-free block-Jacobi-preconditioned CG -> (K, 6).
+
+    Solves the same damped, anchored system ``apply_update`` solves
+    densely, but H is never materialized: the matvec gathers the two
+    pose twists each edge touches, applies the edge's 6x6 blocks, and
+    scatter-adds — O(E) work and O(E * 36 + K * 36) memory per
+    iteration, flat in the graph capacity K (the dense path is O(K^2)
+    memory / O(K^3) solve).  The preconditioner is the exact block
+    diagonal of the damped system, one vmapped 6x6 Cholesky per pose —
+    for SLAM graphs (an odometry chain plus sparse closures) that
+    captures almost all of H's energy, and measured convergence reaches
+    float32 parity with the dense solve in well under
+    ``cfg.ba_cg_iters`` iterations (tests/test_pose_graph.py).
+
+    This is the scale-proof half of the north star's "Schur-complement
+    reduction" (BASELINE.md): poses are the only variables (the map is
+    rebuilt, not optimized), so block-preconditioned CG on the reduced
+    pose system IS the scalable solve.  Single-device only by design:
+    the sharded BA path psums the dense H (parallel/sharded.py) — at
+    the K where CG matters, edges no longer dominate and sharding the
+    build stops paying.
+    """
+    K = graph.poses.shape[0]
+    i_idx, j_idx, Hii, Hij, Hjj, bblk, _ = _edge_blocks(
+        graph, robust_delta, cfg.ba_robust_kernel
+    )
+    HijT = jnp.swapaxes(Hij, 1, 2)
+
+    # damping + gauge anchor, as (K, 6) diagonal addends (matches the
+    # dense path's  H + diag(anchor) + lambda I  exactly)
+    diagv = jnp.full((K, 6), cfg.ba_damping, dtype=jnp.float32)
+    diagv = diagv.at[0].add(1e6)
+
+    def matvec(x):                                        # (K, 6)
+        xi, xj = x[i_idx], x[j_idx]
+        yi = (jnp.einsum("ebc,ec->eb", Hii, xi)
+              + jnp.einsum("ebc,ec->eb", Hij, xj))
+        yj = (jnp.einsum("ebc,ec->eb", HijT, xi)
+              + jnp.einsum("ebc,ec->eb", Hjj, xj))
+        y = jnp.zeros((K, 6), dtype=jnp.float32)
+        return y.at[i_idx].add(yi).at[j_idx].add(yj) + diagv * x
+
+    # block-Jacobi preconditioner: the (K, 6, 6) diagonal of the damped
+    # system, factored once per GN iteration
+    Hd = jnp.zeros((K, 6, 6), dtype=jnp.float32)
+    Hd = Hd.at[i_idx].add(Hii).at[j_idx].add(Hjj)
+    Hd = Hd + jax.vmap(jnp.diag)(diagv)
+    Ld = jax.vmap(lambda M: jax.scipy.linalg.cho_factor(M, lower=True)[0])(
+        Hd
+    )
+
+    def precond(r):
+        return jax.vmap(
+            lambda L, v: jax.scipy.linalg.cho_solve((L, True), v)
+        )(Ld, r)
+
+    def dot(a, b):
+        return jnp.sum(a * b)
+
+    b = -bblk
+    b2 = dot(b, b)
+    tol2 = (cfg.ba_cg_tol ** 2) * b2
+    x = jnp.zeros((K, 6), dtype=jnp.float32)
+    r0 = b
+    z0 = precond(r0)
+    state = (jnp.int32(0), x, r0, z0, z0, dot(r0, z0))
+
+    def cond(s):
+        it, _, r, *_ = s
+        return jnp.logical_and(it < cfg.ba_cg_iters, dot(r, r) > tol2)
+
+    def body(s):
+        it, x, r, z, p, rz = s
+        Ap = matvec(p)
+        alpha = rz / jnp.maximum(dot(p, Ap), 1e-30)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = precond(r)
+        rz_new = dot(r, z)
+        beta = rz_new / jnp.maximum(rz, 1e-30)
+        return (it + 1, x, r, z, z + beta * p, rz_new)
+
+    _, delta, *_ = jax.lax.while_loop(cond, body, state)
+    return jnp.where(jnp.all(jnp.isfinite(delta)), delta, 0.0)
 
 
 def apply_update(
@@ -304,12 +421,26 @@ def optimize(graph: PoseGraph, cfg: KeyframeConfig):
     Returns (optimized graph, BAInfo).
     """
     chi2_0 = _chi2(graph)
+    K = graph.poses.shape[0]
+    if cfg.ba_solver not in ("dense", "cg", "auto"):
+        raise ValueError(f"unknown ba_solver {cfg.ba_solver!r}")
+    use_cg = cfg.ba_solver == "cg" or (
+        cfg.ba_solver == "auto" and K > cfg.ba_dense_max_k
+    )
 
-    def body(i, g):
-        H, b, _ = build_normal_equations(
-            g, gnc_delta(cfg, i), cfg.ba_robust_kernel
-        )
-        return apply_update(g, H, b, cfg)
+    if use_cg:
+        def body(i, g):
+            delta = solve_delta_cg(g, gnc_delta(cfg, i), cfg)
+            poses = jax.vmap(lambda T, xi: T @ se3.exp(xi))(
+                g.poses, delta
+            )
+            return g._replace(poses=poses)
+    else:
+        def body(i, g):
+            H, b, _ = build_normal_equations(
+                g, gnc_delta(cfg, i), cfg.ba_robust_kernel
+            )
+            return apply_update(g, H, b, cfg)
 
     graph = jax.lax.fori_loop(0, cfg.ba_iters, body, graph)
     return graph, BAInfo(
