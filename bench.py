@@ -464,7 +464,13 @@ def _streaming_backend_run(config, hash_slam, synthetic, metrics,
             max_active=2048, max_new_per_frame=2048,
         ),
         stream=dataclasses.replace(
-            config.stream, enabled=True, interval=8, max_age=16,
+            # interval 12 / age 24 measured best for the composed regime
+            # (tools/exp_composed_prof.py A/B 8/12/16: 27.8 / 29.1 /
+            # 27.5 fps — and blocks resident 24 frames instead of 16
+            # cut the out-and-back ATE 133 -> 57 mm): fewer cycles than
+            # 8 and, unlike 16, the restore cadence still keeps up with
+            # the return leg.
+            config.stream, enabled=True, interval=12, max_age=24,
             max_evict=2048, max_restore=2048,
         ),
         keyframes=dataclasses.replace(
@@ -503,6 +509,11 @@ def _streaming_backend_run(config, hash_slam, synthetic, metrics,
     slam.flush()
     _sync(info.icp_error)
     fps = (n - 1) / (time.perf_counter() - t0)
+    # land any in-flight spill pull / cycle payload before accounting
+    # (the rebuild's store intake completes on the streaming worker)
+    t0 = time.perf_counter()
+    slam._driver.stream_sync()
+    drain_s = time.perf_counter() - t0
     ate = metrics.ate_rmse(slam.trajectory(), gt, align=False)
     K = len(slam.keyframes)
     modes = [e["rebuild_mode"] for e in slam.ba_events if e["map_rebuilt"]]
@@ -523,6 +534,9 @@ def _streaming_backend_run(config, hash_slam, synthetic, metrics,
         "evicted": store.total_evicted,
         "restored": store.total_restored,
         "store_blocks_final": len(store),
+        # post-run store drain (spill pull landing off the clock — in a
+        # continuing run it overlaps tracking; reported transparently)
+        "final_drain_s": round(drain_s, 3),
     }
 
 

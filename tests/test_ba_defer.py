@@ -34,17 +34,20 @@ def _make_slam(**kf_overrides):
     )
     slam = keyframe_slam.KeyframeSLAM(config)
 
-    def fake_batch(direction, small, cand_frames, inits, width):
+    def fake_dispatch(direction, small, cand_frames, inits, width):
+        # packed (C, 19) result the completion path unpacks: identity
+        # transforms, tiny error, huge count, full observability —
+        # every candidate passes the gates
         C = width
-        Ts = np.broadcast_to(np.eye(4, dtype=np.float32),
-                             (C, 4, 4)).copy()
-        errs = np.full(C, 1e-6, np.float32)
-        cnts = np.full(C, 1e6, np.float32)
-        obs = np.full(C, 1.0, np.float32)
-        return Ts, errs, cnts, obs
+        out = np.zeros((C, 19), np.float32)
+        out[:, :16] = np.eye(4, dtype=np.float32).reshape(16)
+        out[:, 16] = 1e-6
+        out[:, 17] = 1e6
+        out[:, 18] = 1.0
+        return out
 
     slam._ensure_batch_icps = lambda: None
-    slam._run_batch = fake_batch
+    slam._dispatch_batch = fake_dispatch
     slam._kf_pre = lambda d: None
     return slam
 
@@ -71,6 +74,7 @@ def test_edge_batch_defers_and_flush_forces():
     b = _drive(_make_slam(ba_defer_edges=3))
     assert 1 <= len(b.ba_events) < len(a.ba_events)
     # a leftover pending closure (if any) is resolved by flush()
+    a.flush()
     b.flush()
     assert b._pending_ba_edges == 0
     # nothing lost: the deferred edges are all in the graph

@@ -55,17 +55,17 @@ def _seed_keyframe(slam, pose):
 
 
 def _fake_batch(calls):
-    """_run_batch stub recording candidate counts; nothing passes gates."""
+    """_dispatch_batch stub recording candidate counts; nothing passes
+    gates (packed (C, 19): error fails max_loop_error, count fails
+    min_loop_inliers, observability fails min_loop_obs)."""
 
     def fake(direction, small, cand_frames, inits, width):
         calls.append((direction, len(cand_frames)))
         C = width
-        return (
-            np.tile(np.eye(4, dtype=np.float32), (C, 1, 1)),
-            np.full(C, 1.0),      # error: fails max_loop_error
-            np.zeros(C),          # count: fails min_loop_inliers
-            np.zeros(C),          # observability: fails min_loop_obs
-        )
+        out = np.zeros((C, 19), np.float32)
+        out[:, :16] = np.eye(4, dtype=np.float32).reshape(16)
+        out[:, 16] = 1.0
+        return out
 
     return fake
 
@@ -75,18 +75,20 @@ def test_angle_gate_skips_opposite_facing():
     _seed_keyframe(slam, np.eye(4, dtype=np.float32))
 
     calls = []
-    slam._run_batch = _fake_batch(calls)
+    slam._dispatch_batch = _fake_batch(calls)
     # same position, camera turned 180 degrees: only the odometry
     # candidate reaches the batch (the flipped keyframe is angle-gated)
     flipped = np.asarray(se3.exp(jnp.asarray(
         np.array([0, 0, 0, 0, np.pi, 0], np.float32))))
     d, _ = synthetic.make_sequence(slam.config.camera, 1)
     slam._insert_keyframe(flipped.astype(np.float32), d[0])
+    slam._complete_kf_edges()
     assert calls and calls[-1] == ("fwd", 1), calls
 
     # co-oriented new keyframe: both previous keyframes are candidates
     calls.clear()
     slam._insert_keyframe(np.eye(4, dtype=np.float32), d[0])
+    slam._complete_kf_edges()
     assert calls and calls[-1][1] >= 2, calls
 
 
@@ -159,27 +161,32 @@ def test_mutual_gate_optional_mode():
     def batch_factory(rev_T):
         def fake(direction, small, cand_frames, inits, width):
             C = width
-            Ts = np.tile(T_fwd if direction == "fwd" else rev_T,
-                         (C, 1, 1))
-            return (Ts, np.full(C, 1e-6), np.full(C, 1e4),
-                    np.full(C, 1e-1))
+            T = T_fwd if direction == "fwd" else rev_T
+            out = np.zeros((C, 19), np.float32)
+            out[:, :16] = T.reshape(16)
+            out[:, 16] = 1e-6
+            out[:, 17] = 1e4
+            out[:, 18] = 1e-1
+            return out
         return fake
 
     # consistent reverse -> loop edge accepted (odometry candidate is the
     # same keyframe here, so the edge count grows by 2: odo + loop)
-    slam._run_batch = batch_factory(np.linalg.inv(T_fwd))
+    slam._dispatch_batch = batch_factory(np.linalg.inv(T_fwd))
     before = slam._n_edges
     slam._insert_keyframe(np.eye(4, dtype=np.float32), d[0])
+    slam._complete_kf_edges()
     assert slam._n_edges == before + 2
 
     # inconsistent reverse (slid): loop edge rejected, odometry stays
-    slam._run_batch = batch_factory(
+    slam._dispatch_batch = batch_factory(
         np.linalg.inv(T_fwd)
         @ np.asarray(se3.exp(jnp.asarray(
             np.array([0.08, 0, 0, 0, 0, 0], np.float32))))
     )
     before = slam._n_edges
     slam._insert_keyframe(np.eye(4, dtype=np.float32), d[0])
+    slam._complete_kf_edges()
     assert slam._n_edges == before + 1
 
 

@@ -4,7 +4,7 @@ Runs bench._streaming_backend_run's workload with per-frame wall-clock
 capture, then prints the time split: steady frames vs keyframe frames vs
 BA/rebuild events vs streaming cycle boundaries.
 
-Usage: python tools/exp_composed_prof.py
+Usage: python tools/exp_composed_prof.py [interval] [max_age]
 """
 
 import dataclasses
@@ -24,6 +24,8 @@ def main():
     from voxelhashing_demo_tpu.models import keyframe_slam
     from voxelhashing_demo_tpu.utils import metrics, synthetic
 
+    interval = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    max_age = int(sys.argv[2]) if len(sys.argv) > 2 else 2 * interval
     config = flagship_config()
     cfg = dataclasses.replace(
         config,
@@ -32,8 +34,8 @@ def main():
             max_active=2048, max_new_per_frame=2048,
         ),
         stream=dataclasses.replace(
-            config.stream, enabled=True, interval=8, max_age=16,
-            max_evict=2048, max_restore=2048,
+            config.stream, enabled=True, interval=interval,
+            max_age=max_age, max_evict=2048, max_restore=2048,
         ),
         keyframes=dataclasses.replace(
             config.keyframes, min_loop_separation=8, loop_radius=0.35,
@@ -75,6 +77,9 @@ def main():
     float(info.icp_error)
     total = time.perf_counter() - t0
     fps = (n - 1) / total
+    t0 = time.perf_counter()
+    slam._driver.stream_sync()
+    drain_s = round(time.perf_counter() - t0, 3)
 
     frame_s = np.asarray(frame_s)
     kf_frames = np.asarray(
@@ -88,6 +93,7 @@ def main():
     out = {
         "fps": round(fps, 2),
         "total_s": round(total, 2),
+        "final_drain_s": drain_s,
         "sum_frame_s": round(float(frame_s.sum()), 2),
         "tail_s": round(total - float(frame_s.sum()), 2),
         "p50_ms": round(float(np.median(frame_s)) * 1e3, 1),

@@ -318,6 +318,15 @@ class KeyframeConfig:
     # are mm-cm scale; false closures are decimeter-plus.
     ba_robust_delta: float = 0.1
     ba_robust_kernel: str = "gm"
+    # asynchronous keyframe edge insertion: the candidate pair-ICP batch
+    # dispatched at keyframe insert is FETCHED at the next drain (where
+    # the pipeline syncs anyway) instead of blocking the insert — the
+    # synchronous fetch measured ~33 ms per keyframe on the tunnel.
+    # Edge acceptance, the mutual check, and the BA trigger move with it
+    # (<= sync_every frames, the latency class the drain batching
+    # already accepts); flush/checkpoint/BA always complete pending
+    # batches first, so the graph is current wherever it is consumed.
+    kf_async_edges: bool = True
     # graduated non-convexity: the IRLS kernel width starts at
     # init_scale * delta and anneals geometrically to delta over
     # ba_iters.  Without it the redescending GM kernel sheds an HONEST

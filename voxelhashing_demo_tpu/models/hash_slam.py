@@ -553,13 +553,17 @@ class HashSLAM:
             if b >= s.max_evict:
                 break
             b *= 2
-        # rebuild spill path (the keyframe backend's streaming rebuild)
+        # rebuild spill path (the keyframe backend's streaming rebuild),
+        # including the [count | keys] head pull spill_finish opens with
         spill = self.spill_begin()
         hm = self.spill_evict(hm, 0, spill)
+        head = make_spill_head(self.config, spill["cap"])(
+            spill["count"], spill["keys"]
+        )
         # one scalar fetch waits for the whole compile+execute chain
         _ = float(np.asarray(out.ravel()[0]))
         _ = float(np.asarray(acc.ravel()[0]))
-        _ = float(np.asarray(spill["count"]))
+        _ = float(np.asarray(head[0]))
         del hm, keys_e, payload, spill
 
     def _cycle_dispatch(self) -> None:
@@ -770,6 +774,29 @@ class HashSLAM:
         store.add(keys_np[:b], arr[:, :V],
                   arr[:, V : 2 * V], arr[:, 2 * V].astype(np.int32))
         return max(0, n - cap)
+
+    def spill_finish_async(self, spill: dict, store, on_overflow=None):
+        """Land the spill buffer into ``store`` on the streaming
+        completion worker instead of blocking the caller — the payload
+        pull is the rebuild's dominant cost (measured 1.4 s for a
+        16.8 MB D2H at the tunnel's ~12 MB/s effective,
+        tools/exp_rebuild_ops.py) and nothing downstream of a rebuild
+        needs the HOST copy immediately: the device map is already
+        rebuilt and the caller may swap ``store`` in as the live store
+        right away.  Every consumer that touches the store first goes
+        through ``stream_sync``/``_join_complete`` (cycle boundaries,
+        checkpointing, incremental reintegration, accounting), all of
+        which join this work — same serialization contract as the cycle
+        completion itself.  ``on_overflow`` (optional) is invoked from
+        the worker with the dropped-row count if the buffer overflowed."""
+        self._join_complete()
+
+        def work():
+            overflow = self.spill_finish(spill, store)
+            if overflow and on_overflow is not None:
+                on_overflow(overflow)
+
+        self._completing = self._stream_worker.submit(work)
 
     def process(self, depth_raw) -> StepInfo:
         if self.store is not None:

@@ -308,6 +308,9 @@ class KeyframeSLAM:
         # per-insert wall-clock laps (pre/cand/fwd/rev) — the backend's
         # in-loop hitch budget lives in these
         self._kf_insert_s: List[dict] = []
+        # deferred keyframe candidate batches (kcfg.kf_async_edges):
+        # dispatched at insert, landed by _complete_kf_edges
+        self._kf_pending: List[dict] = []
         # graph capacity growth / saturation record (never silent:
         # VERDICT r2 weakness 2).  With kcfg.grow_on_capacity the graph
         # doubles on demand and ``saturated`` stays False; without it,
@@ -513,10 +516,9 @@ class KeyframeSLAM:
             self.kcfg.icp_downsample, self._lcam,
         )
 
-    def _run_batch(self, direction, small, cand_frames, inits, width):
-        """Pad candidates to ``width``, run the vmapped ICP, return
-        (transforms (C,4,4), errors (C,), counts (C,), observability (C,))
-        as numpy — ONE dispatch, ONE fetch for the whole candidate set."""
+    def _dispatch_batch(self, direction, small, cand_frames, inits, width):
+        """Pad candidates to ``width`` and dispatch the vmapped pair ICP;
+        returns the in-flight (C, 19) device array (no fetch)."""
         self._ensure_batch_icps()
         C = width
         frames = tuple(cand_frames) + (self._zero_small,) * (
@@ -527,10 +529,23 @@ class KeyframeSLAM:
         )
         inits_j = jnp.asarray(np.stack(inits).astype(np.float32))
         fn = self._batch_fwd if direction == "fwd" else self._batch_rev
-        out = np.asarray(fn(small, frames, inits_j) if direction == "fwd"
-                         else fn(frames, small, inits_j))
-        return (out[:, :16].reshape(C, 4, 4), out[:, 16], out[:, 17],
-                out[:, 18])
+        return (fn(small, frames, inits_j) if direction == "fwd"
+                else fn(frames, small, inits_j))
+
+    @staticmethod
+    def _unpack_batch(out_np):
+        C = out_np.shape[0]
+        return (out_np[:, :16].reshape(C, 4, 4), out_np[:, 16],
+                out_np[:, 17], out_np[:, 18])
+
+    def _run_batch(self, direction, small, cand_frames, inits, width):
+        """Pad candidates to ``width``, run the vmapped ICP, return
+        (transforms (C,4,4), errors (C,), counts (C,), observability (C,))
+        as numpy — ONE dispatch, ONE fetch for the whole candidate set."""
+        return self._unpack_batch(np.asarray(
+            self._dispatch_batch(direction, small, cand_frames, inits,
+                                 width)
+        ))
 
     def _edge_ok_np(self, T, err, cnt, obs) -> bool:
         return (
@@ -602,52 +617,92 @@ class KeyframeSLAM:
                 )
 
             _lap("cand_s")
-            Ts, errs, cnts, obs = self._run_batch("fwd", small,
-                                                  [c.frame for c in cands],
-                                                  inits, width)
+            pending = {
+                "k": k,
+                "frame_idx": self._frame_idx,
+                "small": small,
+                "cand_idx": [c.index for c in cands],
+                "cand_frames": [c.frame for c in cands],
+                "inits": inits,
+                "out": self._dispatch_batch(
+                    "fwd", small, [c.frame for c in cands], inits, width
+                ),
+                "width": width,
+            }
+            if self.kcfg.kf_async_edges:
+                # defer the gate fetch: the batch computes alongside the
+                # next sync_every tracking steps and its results land at
+                # the next drain (where the pipeline syncs anyway) — the
+                # blocking per-insert fetch measured ~33 ms each on the
+                # tunnel (tools/exp_composed_prof.py).  Edge insertion,
+                # the mutual check, and the BA trigger move with it —
+                # the same <= sync_every-frame latency class the drain
+                # batching already accepts everywhere else.
+                self._kf_pending.append(pending)
+            else:
+                self._complete_one_kf(pending)
             _lap("fwd_s")
-            # odometry edge: pair-ICP refinement (fall back to the
-            # tracked relative pose on a failed/degenerate solve) or the
-            # tracked pose directly (kcfg.odometry_source)
-            meas = (Ts[0]
-                    if self.kcfg.odometry_source == "icp"
-                    and self._edge_ok_np(Ts[0], errs[0], cnts[0], obs[0])
-                    else inits[0])
-            if self._ensure_edge_capacity():
-                self._add_edge(prev.index, k, meas,
-                               self.kcfg.odometry_weight)
-            # loop candidates passing the forward gates
-            passing = [
-                i for i in range(1, len(cands))
-                if self._edge_ok_np(Ts[i], errs[i], cnts[i], obs[i])
-            ]
-            if passing and self.kcfg.loop_mutual_check:
-                rT, _, _, _ = self._run_batch(
-                    "rev", small,
-                    [cands[i].frame for i in passing],
-                    [np.linalg.inv(Ts[i]) for i in passing], width,
-                )
-                passing = [
-                    i for j, i in enumerate(passing)
-                    if np.isfinite(rT[j]).all()
-                    and self._mutual_ok_np(Ts[i] @ rT[j])
-                ]
-                _lap("rev_s")
-            for i in passing:
-                if not self._ensure_edge_capacity():
-                    break
-                self._add_edge(cands[i].index, k, Ts[i],
-                               self.kcfg.loop_weight)
-                loop_closed = True
 
         self.keyframes.append(rec)
-        if loop_closed:
-            if self._pending_ba_edges == 0:
-                self._pending_ba_since = self._frame_idx
-            self._pending_ba_edges += 1
         _t.pop("start", None)
         self._kf_insert_s.append(_t)
         return self._maybe_optimize()
+
+    def _complete_one_kf(self, p: dict) -> None:
+        """Land one keyframe's candidate batch: fetch the forward pair-ICP
+        results, apply the acceptance gates, run the (lazy) mutual check,
+        and insert the odometry + accepted loop edges into the graph."""
+        k = p["k"]
+        inits = p["inits"]
+        Ts, errs, cnts, obs = self._unpack_batch(np.asarray(p["out"]))
+        # odometry edge: pair-ICP refinement (fall back to the
+        # tracked relative pose on a failed/degenerate solve) or the
+        # tracked pose directly (kcfg.odometry_source)
+        meas = (Ts[0]
+                if self.kcfg.odometry_source == "icp"
+                and self._edge_ok_np(Ts[0], errs[0], cnts[0], obs[0])
+                else inits[0])
+        if self._ensure_edge_capacity():
+            self._add_edge(p["cand_idx"][0], k, meas,
+                           self.kcfg.odometry_weight)
+        # loop candidates passing the forward gates
+        n_c = len(p["cand_idx"])
+        passing = [
+            i for i in range(1, n_c)
+            if self._edge_ok_np(Ts[i], errs[i], cnts[i], obs[i])
+        ]
+        if passing and self.kcfg.loop_mutual_check:
+            rT, _, _, _ = self._run_batch(
+                "rev", p["small"],
+                [p["cand_frames"][i] for i in passing],
+                [np.linalg.inv(Ts[i]) for i in passing], p["width"],
+            )
+            passing = [
+                i for j, i in enumerate(passing)
+                if np.isfinite(rT[j]).all()
+                and self._mutual_ok_np(Ts[i] @ rT[j])
+            ]
+        loop_closed = False
+        for i in passing:
+            if not self._ensure_edge_capacity():
+                break
+            self._add_edge(p["cand_idx"][i], k, Ts[i],
+                           self.kcfg.loop_weight)
+            loop_closed = True
+        if loop_closed:
+            if self._pending_ba_edges == 0:
+                # BA deferral ages from when the closure was FOUND
+                self._pending_ba_since = p["frame_idx"]
+            self._pending_ba_edges += 1
+
+    def _complete_kf_edges(self) -> None:
+        """Land every deferred keyframe candidate batch, in insert order.
+        Runs at each drain (after its batched pose fetch, which already
+        synced the pipeline), before any BA solve, and at flush/
+        checkpoint boundaries — so the graph is always current wherever
+        it is consumed."""
+        while self._kf_pending:
+            self._complete_one_kf(self._kf_pending.pop(0))
 
     def _maybe_optimize(self, force: bool = False):
         """Run BA if the deferral trigger fires (kcfg.ba_defer_edges
@@ -657,6 +712,10 @@ class KeyframeSLAM:
         while one is in flight new triggers wait (pending edges keep
         accumulating).  Returns the applied correction (numpy) or None."""
         corr = None
+        if force:
+            # flush/checkpoint boundary: deferred keyframe batches must
+            # land before the (forced) solve sees the graph
+            self._complete_kf_edges()
         if self._ba_inflight is not None:
             if not force:
                 return None
@@ -671,6 +730,10 @@ class KeyframeSLAM:
                 and waited >= self.kcfg.ba_defer_frames)
         ):
             return corr
+        # the trigger fired: land any still-deferred batches so the solve
+        # includes every found edge (their pending count folds into this
+        # run — zeroed below)
+        self._complete_kf_edges()
         self._pending_ba_edges = 0
         if self.kcfg.ba_async and not force:
             self._dispatch_ba()
@@ -1069,16 +1132,6 @@ class KeyframeSLAM:
         model = self._render_model(hmap, self.state.pose)
         self.state = self.state._replace(hmap=hmap, model=model)
         if streaming:
-            overflow = self._driver.spill_finish(spill, new_store)
-            _lap("spill_finish_s")
-            if overflow:
-                # bounded geometry loss (off-frustum rows beyond the
-                # spill capacity), surfaced like every capacity event
-                self.capacity_events.append({
-                    "frame": self._frame_idx,
-                    "kind": "rebuild_spill_overflow",
-                    "capacity": overflow,
-                })
             # the run's evict/restore totals survive the swap (the fresh
             # store starts at the OLD store's counters plus its own spill
             # intake) — without this the bench's composed section showed
@@ -1086,6 +1139,31 @@ class KeyframeSLAM:
             new_store.total_evicted += self._driver.store.total_evicted
             new_store.total_restored += self._driver.store.total_restored
             self._driver.store = new_store
+            frame = self._frame_idx
+
+            def _overflow(n):
+                # bounded geometry loss (off-frustum rows beyond the
+                # spill capacity), surfaced like every capacity event
+                self.capacity_events.append({
+                    "frame": frame,
+                    "kind": "rebuild_spill_overflow",
+                    "capacity": n,
+                })
+
+            # the spill payload pull is the rebuild's dominant cost
+            # (~1.4 s of D2H on the tunnel); the single-chip driver
+            # lands it on the streaming worker so it overlaps the
+            # tracking that resumes after this correction — the sharded
+            # driver stays synchronous (its cycle protocol is
+            # collective, no worker thread)
+            fin = getattr(self._driver, "spill_finish_async", None)
+            if fin is not None:
+                fin(spill, new_store, on_overflow=_overflow)
+            else:
+                overflow = self._driver.spill_finish(spill, new_store)
+                if overflow:
+                    _overflow(overflow)
+            _lap("spill_finish_s")
         # the ledger now accounts for every contribution in the map;
         # fusions dispatched into the pre-rebuild map are gone with it
         self._ring = []
@@ -1276,6 +1354,22 @@ class KeyframeSLAM:
             self._drain()
         self._maybe_optimize(force=True)
 
+    def settle(self) -> None:
+        """Land all in-flight work — pending frames, deferred keyframe
+        candidate batches, an async BA solve — WITHOUT forcing the
+        deferred-BA trigger.  The checkpoint-transparent boundary:
+        ``save_keyframe_slam`` persists the deferral counters, so a
+        resumed run fires BA at the same frame the uninterrupted run
+        would have (``flush`` instead forces pending closures to solve
+        NOW, which would make the saved state diverge from an
+        uninterrupted run whenever a closure was in flight at the cut —
+        tests/test_keyframe_checkpoint.py pins the equivalence)."""
+        if self._pending:
+            self._drain()
+        self._complete_kf_edges()
+        if self._ba_inflight is not None:
+            self._complete_ba()
+
     def _drain(self) -> None:
         pend = self._pending
         self._pending = []
@@ -1301,6 +1395,10 @@ class KeyframeSLAM:
         frame0 = self._frame_idx - len(pend)
         saved = self._frame_idx
         corr = None   # correction accumulated within this batch
+        # previous drains' deferred keyframe batches land here: the pack
+        # fetch above already synced the pipeline, so theirs is a cheap
+        # result pull (kcfg.kf_async_edges)
+        self._complete_kf_edges()
         if self._ba_inflight is not None:
             # async BA completion: the batch fetch above already drained
             # the pipeline, so the solve is done and its pose fetch is

@@ -397,7 +397,7 @@ def save_keyframe_slam(path: str, kslam) -> None:
 
     The reference's only persistence is a debug text dump
     (reference: SDFRenderer.cpp:71-110)."""
-    kslam.flush()   # run deferred bookkeeping for in-flight frames
+    kslam.settle()  # land in-flight work; deferred BA stays deferred
     extra = {}
     if kslam.keyframes:
         extra["kf_depths"] = np.stack(
@@ -419,6 +419,11 @@ def save_keyframe_slam(path: str, kslam) -> None:
         "relocalizations": kslam.relocalizations,
         "saturated": bool(kslam.saturated),
         "frame_idx": int(kslam._frame_idx),
+        # the BA deferral counters survive the checkpoint (settle does
+        # NOT force pending closures to solve), so a resumed run fires
+        # BA at the frame the uninterrupted run would have
+        "pending_ba_edges": int(kslam._pending_ba_edges),
+        "pending_ba_since": int(kslam._pending_ba_since),
         # the contribution ledger (keyframe map_poses + live-frame ring)
         # is NOT persisted: a resumed run starts unledgered and its first
         # significant correction performs a full rebuild
@@ -504,6 +509,10 @@ def load_keyframe_slam(path: str, mesh=None):
             k.relocalizations = events.get("relocalizations", [])
             k.saturated = bool(events.get("saturated", False))
             k._frame_idx = int(events.get("frame_idx", len(k._frame_refs)))
+            k._pending_ba_edges = int(events.get("pending_ba_edges", 0))
+            k._pending_ba_since = int(
+                events.get("pending_ba_since", k._frame_idx)
+            )
             # _map_ledgered stays False (set by _init_runtime_state): the
             # contribution ledger does not survive a restart, so the first
             # significant correction after resume rebuilds fully
