@@ -407,6 +407,55 @@ def test_born_survives_evict_restore_for_exact_defuse(tiny_cfg):
             assert w_u[pu].max() < 1e-4
 
 
+def test_async_spill_landing_matches_sync():
+    """The rebuild's worker-thread spill landing (spill_finish_async)
+    must leave the store and device map IDENTICAL to the synchronous
+    path after stream_sync — the async path only moves the payload pull
+    off the caller's critical path."""
+    import dataclasses
+
+    from voxelhashing_demo_tpu.models import keyframe_slam
+
+    base = _stream_cfg(True)
+    cfg = dataclasses.replace(
+        base,
+        keyframes=dataclasses.replace(
+            base.keyframes, min_rotation_deg=8.0, min_translation=0.10,
+        ),
+    )
+    depths, _ = synthetic.make_room_sweep(CAM, 20, sweep_deg=150.0)
+
+    def snapshot(async_path: bool):
+        slam = keyframe_slam.KeyframeSLAM(cfg)
+        for d in depths:
+            slam.process(d)
+        slam.flush()
+        if not async_path:
+            # hide the async method: _rebuild_map then takes the
+            # synchronous spill_finish branch
+            slam._driver.spill_finish_async = None
+        slam._rebuild_map()
+        slam._driver.stream_sync()
+        store = slam._driver.store
+        rows = {
+            int(k): store.rows_for(np.asarray([k], np.int32))
+            for k in sorted(store._index)
+        }
+        dev = {
+            int(k) for k in np.asarray(slam.state.hmap.keys)
+            if k != int(hash_ops.EMPTY_KEY)
+        }
+        return rows, dev
+
+    rows_a, dev_a = snapshot(async_path=True)
+    rows_s, dev_s = snapshot(async_path=False)
+    assert dev_a == dev_s
+    assert set(rows_a) == set(rows_s)
+    for k in rows_a:
+        for x, y in zip(rows_a[k], rows_s[k]):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
 def test_streaming_incremental_reintegration():
     """A BA correction on a STREAMING map takes the incremental path:
     moved frames restore their frustums from the host store first (with
