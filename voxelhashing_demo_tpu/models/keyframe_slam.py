@@ -980,7 +980,12 @@ class KeyframeSLAM:
         n = 0
         n_sat = 0
         A = self.config.hash.max_active
-        sat_counts = []
+        # visible-set saturation count accumulated ON DEVICE with
+        # fixed-shape scalar ops: a `jnp.stack(list_of_n_scalars)` fetch
+        # compiles a DISTINCT op per move count n (~1.1 s of remote
+        # compile each first use — the localized_micro bench measured
+        # 1.22 s for a 2-move correction, almost all of it this stack)
+        sat_dev = jnp.int32(0)
 
         def restore_frustums(from_pose, to_pose):
             """Streaming: pull stored rows back on device for both the
@@ -1006,7 +1011,7 @@ class KeyframeSLAM:
                 )
 
         def move(depth_dev, frame_idx, from_pose, to_pose):
-            nonlocal n
+            nonlocal n, sat_dev
             if streaming:
                 restore_frustums(from_pose, to_pose)
             hmap, cnt = self._reintegrate(
@@ -1016,7 +1021,7 @@ class KeyframeSLAM:
                 jnp.int32(frame_idx),
             )
             d.state = d.state._replace(hmap=hmap)
-            sat_counts.append(cnt)
+            sat_dev = sat_dev + (cnt >= A).astype(jnp.int32)
             n += 1
 
         for rec in self.keyframes:
@@ -1035,11 +1040,10 @@ class KeyframeSLAM:
                 continue
             move(ent.depth, ent.frame_index, ent.map_pose, target)
             ent.map_pose = target.astype(np.float32)
-        if sat_counts:
-            # ONE batched fetch of the visible-set counts (max_active hit
-            # means the de/re-integration frustum was truncated)
-            counts = np.asarray(jnp.stack(sat_counts))
-            n_sat += int((counts >= A).sum())
+        if n:
+            # ONE scalar fetch (max_active hit means the de/re-
+            # integration frustum was truncated)
+            n_sat += int(np.asarray(sat_dev))
         if n == 0:
             # nothing moved: the map is untouched, so the model rendered
             # by the last step is still valid — skip the re-render (in
@@ -1299,7 +1303,12 @@ class KeyframeSLAM:
             hm = sharded_mod.create_sharded(self.config, self.mesh).hmap
         hm = self._fuse_only(hm, d, I, jnp.int32(0))
         if self._reintegrate is not None:
-            hm, _ = self._reintegrate(hm, d, I, I, jnp.int32(0))
+            hm, wcnt = self._reintegrate(hm, d, I, I, jnp.int32(0))
+            # ... and the incremental path's on-device saturation
+            # accumulator ops + scalar fetch
+            np.asarray(jnp.int32(0) + (
+                wcnt >= self.config.hash.max_active
+            ).astype(jnp.int32))
         model = self._render_model(hm, I)
         small = self._kf_pre(d)
         eye = np.eye(4, dtype=np.float32)
