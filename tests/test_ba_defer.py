@@ -61,6 +61,29 @@ def _drive(slam, n=10):
     return slam
 
 
+def test_sync_edge_mode_matches_async():
+    """kf_async_edges=False (synchronous inserts) must produce the same
+    graph as the async path once both are flushed — and async must NOT
+    engage in a per-closure (ba_defer 1/0) configuration, which chose
+    correction-latency-first semantics."""
+    a = _drive(_make_slam(ba_defer_edges=3))
+    s = _drive(_make_slam(ba_defer_edges=3, kf_async_edges=False))
+    assert a._kf_pending, "async must engage under deferral"
+    a.flush()
+    s.flush()
+    assert not a._kf_pending
+    assert a._n_edges == s._n_edges
+    assert a._n_poses == s._n_poses
+    np.testing.assert_allclose(
+        np.asarray(a.graph.edges_T[: a._n_edges]),
+        np.asarray(s.graph.edges_T[: s._n_edges]), atol=1e-6,
+    )
+    # per-closure config: inserts stay synchronous even with the flag on
+    p = _drive(_make_slam())
+    assert not p._kf_pending
+    assert len(p.ba_events) >= 3
+
+
 def test_default_is_per_closure_ba():
     slam = _drive(_make_slam())
     # every insert after the second keyframe accepts a loop edge and,

@@ -323,9 +323,13 @@ class KeyframeConfig:
     # the pipeline syncs anyway) instead of blocking the insert — the
     # synchronous fetch measured ~33 ms per keyframe on the tunnel.
     # Edge acceptance, the mutual check, and the BA trigger move with it
-    # (<= sync_every frames, the latency class the drain batching
-    # already accepts); flush/checkpoint/BA always complete pending
-    # batches first, so the graph is current wherever it is consumed.
+    # (<= sync_every frames — the latency class the BA DEFERRAL window
+    # already accepts, so async only engages when deferral is on
+    # (ba_defer_edges > 1 or ba_defer_frames > 0); a per-closure
+    # configuration keeps synchronous, correction-latency-first inserts
+    # regardless of this flag).  flush/checkpoint/BA always complete
+    # pending batches first, so the graph is current wherever it is
+    # consumed.
     kf_async_edges: bool = True
     # graduated non-convexity: the IRLS kernel width starts at
     # init_scale * delta and anneals geometrically to delta over

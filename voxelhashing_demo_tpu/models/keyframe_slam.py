@@ -629,15 +629,24 @@ class KeyframeSLAM:
                 ),
                 "width": width,
             }
-            if self.kcfg.kf_async_edges:
+            defer_on = (self.kcfg.ba_defer_edges > 1
+                        or self.kcfg.ba_defer_frames > 0)
+            if self.kcfg.kf_async_edges and defer_on:
                 # defer the gate fetch: the batch computes alongside the
                 # next sync_every tracking steps and its results land at
                 # the next drain (where the pipeline syncs anyway) — the
                 # blocking per-insert fetch measured ~33 ms each on the
                 # tunnel (tools/exp_composed_prof.py).  Edge insertion,
                 # the mutual check, and the BA trigger move with it —
-                # the same <= sync_every-frame latency class the drain
-                # batching already accepts everywhere else.
+                # the same latency class the BA deferral window already
+                # accepts, which is why async engages ONLY when deferral
+                # is on: a per-closure (ba_defer 1/0) configuration
+                # chose correction-latency-first semantics, and shifting
+                # its BA one drain later measurably costs accuracy (A/B
+                # on the loop-closing PNG16 fixtures: 32 -> 81 mm
+                # aligned through the CLI's per-closure defaults, while
+                # the deferred flagship config is bit-identical either
+                # way — tools output in BENCH_NOTES r5).
                 self._kf_pending.append(pending)
             else:
                 self._complete_one_kf(pending)
@@ -1396,11 +1405,19 @@ class KeyframeSLAM:
                 )
 
             self._pack_drain = jax.jit(_pack)
+        # pad the batch to the fixed sync_every width so ONE compiled
+        # pack shape serves every drain — the final partial drain at
+        # flush (e.g. 8 leftover frames of a 200-frame run) otherwise
+        # compiles a fresh per-length op, ~1 s on the tunnel
+        B = max(self.kcfg.sync_every, 1)
+        infos = [i for _, i, _e in pend] + [pend[-1][1]] * (
+            B - len(pend)
+        )
         arr = np.asarray(self._pack_drain(
-            tuple(i.pose for _, i, _e in pend),
-            tuple(i.tracked for _, i, _e in pend),
-            tuple(i.valid_px for _, i, _e in pend),
-        ))
+            tuple(i.pose for i in infos),
+            tuple(i.tracked for i in infos),
+            tuple(i.valid_px for i in infos),
+        ))[: len(pend)]
         frame0 = self._frame_idx - len(pend)
         saved = self._frame_idx
         corr = None   # correction accumulated within this batch
