@@ -508,12 +508,18 @@ def _streaming_backend_run(config, hash_slam, synthetic, metrics,
         info = slam.process(d)
     slam.flush()
     _sync(info.icp_error)
-    fps = (n - 1) / (time.perf_counter() - t0)
+    run_s = time.perf_counter() - t0
+    fps = (n - 1) / run_s
     # land any in-flight spill pull / cycle payload before accounting
-    # (the rebuild's store intake completes on the streaming worker)
+    # (the rebuild's store intake completes on the streaming worker).
+    # ``fps`` is the steady-state rate a CONTINUING run would sustain
+    # (the spill landing overlaps subsequent tracking mid-run);
+    # ``fps_end_to_end`` charges this snippet's final drain to the
+    # clock — both reported so neither definition can hide the other.
     t0 = time.perf_counter()
     slam._driver.stream_sync()
     drain_s = time.perf_counter() - t0
+    fps_e2e = (n - 1) / (run_s + drain_s)
     ate = metrics.ate_rmse(slam.trajectory(), gt, align=False)
     K = len(slam.keyframes)
     modes = [e["rebuild_mode"] for e in slam.ba_events if e["map_rebuilt"]]
@@ -534,9 +540,11 @@ def _streaming_backend_run(config, hash_slam, synthetic, metrics,
         "evicted": store.total_evicted,
         "restored": store.total_restored,
         "store_blocks_final": len(store),
-        # post-run store drain (spill pull landing off the clock — in a
-        # continuing run it overlaps tracking; reported transparently)
+        # post-run store drain (spill pull landing off the steady-state
+        # clock — in a continuing run it overlaps tracking) and the
+        # end-to-end rate with it charged, both transparent
         "final_drain_s": round(drain_s, 3),
+        "fps_end_to_end": round(fps_e2e, 3),
     }
 
 

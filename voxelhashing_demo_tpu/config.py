@@ -277,7 +277,9 @@ class KeyframeConfig:
     # "auto" (default): dense while the graph capacity K <=
     # ba_dense_max_k, CG beyond — the switch is a static-shape decision,
     # so it costs one recompile at the capacity-growth step that crosses
-    # the threshold, nothing per frame.
+    # the threshold, nothing per frame.  CG is single-device only: the
+    # sharded BA path psums the dense system regardless of capacity
+    # ("auto" stays dense on a mesh; explicit "cg" with a mesh raises).
     ba_solver: str = "auto"
     ba_dense_max_k: int = 128
     # CG iteration cap and relative-residual stop (||r|| <= tol * ||b||).

@@ -209,6 +209,23 @@ def _make_kf_pre(cam, frontend, downsample: int, lcam):
     return jax.jit(kf_pre)
 
 
+def _make_laps():
+    """Wall-clock lap recorder shared by the insert/rebuild telemetry:
+    returns ``(laps, lap)`` where ``lap(name)`` accumulates the time
+    since the previous lap into ``laps[name]`` (repeat names add up)."""
+    import time as _time
+
+    laps = {}
+    state = {"t": _time.perf_counter()}
+
+    def lap(name):
+        now = _time.perf_counter()
+        laps[name] = round(laps.get(name, 0.0) + (now - state["t"]), 4)
+        state["t"] = now
+
+    return laps, lap
+
+
 @functools.lru_cache(maxsize=None)
 def _ba_pack(K: int):
     """Jitted fixed-shape pack of a BA solve's outputs — full (K, 4, 4)
@@ -563,16 +580,7 @@ class KeyframeSLAM:
         )
 
     def _insert_keyframe(self, pose_np: np.ndarray, depth_raw) -> None:
-        import time as _time
-        _t = {"start": _time.perf_counter()}
-
-        def _lap(name):
-            now = _time.perf_counter()
-            _t[name] = round(
-                _t.get(name, 0.0) + (now - _t["start"]), 4
-            )
-            _t["start"] = now
-
+        _t, _lap = _make_laps()
         k = len(self.keyframes)
         if not self._ensure_pose_capacity():
             return
@@ -653,7 +661,6 @@ class KeyframeSLAM:
             _lap("fwd_s")
 
         self.keyframes.append(rec)
-        _t.pop("start", None)
         self._kf_insert_s.append(_t)
         return self._maybe_optimize()
 
@@ -853,6 +860,7 @@ class KeyframeSLAM:
         rebuilt = False
         mode = None
         n_reint = 0
+        self._t_count_moved = None   # never leak a prior event's lap
         t1 = _time.perf_counter()
         if self.kcfg.rebuild_map and (
             trans > self.kcfg.rebuild_min_trans
@@ -1006,6 +1014,12 @@ class KeyframeSLAM:
             would deadlock a peer whose shard has work)."""
             nonlocal n_sat
             s = self.config.stream
+            # join the streaming worker BEFORE reading the store: an
+            # async rebuild spill landing (spill_finish_async) may still
+            # be add()ing rows on the worker thread, and query_frustum
+            # reading mid-grow would mix array generations (or silently
+            # miss in-flight rows, leaving the move incomplete)
+            d.stream_sync()
             for pose in (from_pose, to_pose):
                 keys = (d.store.query_frustum(
                     np.asarray(pose, np.float32), self.config.camera,
@@ -1089,14 +1103,7 @@ class KeyframeSLAM:
         thinner weight field for globally consistent geometry."""
         # one fetch, and resync the host mirror (tests drive this method
         # directly after editing the device graph)
-        import time as _time
-        _t = {"start": _time.perf_counter()}
-
-        def _lap(name):
-            now = _time.perf_counter()
-            _t[name] = round(now - _t["start"], 4)
-            _t["start"] = now
-
+        _t, _lap = _make_laps()
         poses = np.asarray(self.graph.poses)
         self._poses_np[: self._n_poses] = poses[: self._n_poses]
         self._ensure_jits()
@@ -1183,7 +1190,6 @@ class KeyframeSLAM:
         self._ring_overflow = False
         self._map_ledgered = True
         self._map_epoch += 1
-        _t.pop("start", None)
         self._last_rebuild_detail = _t
 
     # -- tracking-lost recovery ----------------------------------------------

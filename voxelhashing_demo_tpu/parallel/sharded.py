@@ -711,9 +711,23 @@ def optimize_graph_sharded(graph, kcfg, mesh):
     The reference has no backend at all (SURVEY.md §5); this is the
     distributed-BA reduction of the north star (BASELINE.json configs 4-5).
     Returns (optimized PoseGraph, BAInfo), numerically identical to the
-    single-device ``ops.pose_graph.optimize`` (same H, same solve).
+    single-device ``ops.pose_graph.optimize`` with its DENSE solver
+    (same H, same solve).  The sharded path is dense-only by design —
+    at the K where the matrix-free CG solver matters the edge build no
+    longer dominates and sharding it stops paying (see
+    ``pose_graph.solve_delta_cg``); ``ba_solver="auto"`` therefore
+    stays dense here regardless of capacity, and an EXPLICIT
+    ``ba_solver="cg"`` with a mesh is rejected rather than silently
+    downgraded.
     """
     from ..ops import pose_graph
+
+    if kcfg.ba_solver == "cg":
+        raise ValueError(
+            "ba_solver='cg' is single-device only; the sharded BA path "
+            "psums the dense normal equations (use 'auto' or 'dense' "
+            "with a mesh)"
+        )
 
     n = mesh.devices.size
     E = graph.edges_ij.shape[0]
