@@ -165,6 +165,16 @@ def test_sharded_ba_matches_single_device(mesh):
     )
     assert float(info_m.chi2_final) < 0.01 * float(info_m.chi2_initial)
 
+    # the sharded path is dense-only by design: an explicit CG request
+    # is rejected rather than silently downgraded
+    import dataclasses
+    import pytest
+
+    with pytest.raises(ValueError, match="single-device"):
+        sharded.optimize_graph_sharded(
+            graph, dataclasses.replace(cfg, ba_solver="cg"), mesh
+        )
+
 
 def test_sharded_keyframe_slam(mesh):
     """Keyframe SLAM over the sharded frontend + distributed BA."""
