@@ -306,6 +306,57 @@ def test_optimize_at_k256_capacity():
     )
 
 
+def test_cg_at_k512_capacity():
+    """Scale smoke at a capacity the dense solver never ran: 128 real
+    poses in a 512-capacity graph (auto picks CG above ba_dense_max_k).
+    The drifted two-ring chain with crossing closures must converge to
+    the same chi2 class as small graphs, pads untouched."""
+    K, cap = 128, 512
+    gt = _ring_poses(K)
+    rng = np.random.RandomState(7)
+    est = [gt[0]]
+    for i in range(K - 1):
+        z = _rel(gt[i], gt[i + 1])
+        noise = np.concatenate(
+            [rng.normal(0, 0.01, 3), rng.normal(0, 0.005, 3)]
+        ).astype(np.float32)
+        est.append(est[-1] @ (z @ np.asarray(se3.exp(jnp.asarray(noise)))))
+    graph = pose_graph.create(cap, 2 * cap)
+    for T in est:
+        graph = pose_graph.add_pose(graph, jnp.asarray(T))
+    for i in range(K - 1):
+        graph = pose_graph.add_edge(
+            graph, i, i + 1, jnp.asarray(_rel(gt[i], gt[i + 1]))
+        )
+    # loop closures: ring closure + cross-ring chords every 16 poses
+    graph = pose_graph.add_edge(
+        graph, K - 1, 0, jnp.asarray(_rel(gt[K - 1], gt[0]))
+    )
+    for i in range(0, K - K // 2, 16):
+        j = i + K // 2
+        graph = pose_graph.add_edge(
+            graph, i, j, jnp.asarray(_rel(gt[i], gt[j]))
+        )
+
+    cfg = KeyframeConfig(ba_iters=10)
+    assert cap > cfg.ba_dense_max_k   # auto must route to CG here
+    ate_before = metrics.ate_rmse(
+        [np.asarray(p) for p in graph.poses[:K]], gt, align=False
+    )
+    out, info = pose_graph.optimize(graph, cfg)
+    ate_after = metrics.ate_rmse(
+        [np.asarray(p) for p in out.poses[:K]], gt, align=False
+    )
+    assert float(info.chi2_final) < 1e-6
+    assert ate_after < 0.1 * ate_before
+    assert ate_after < 5e-3
+    np.testing.assert_allclose(
+        np.asarray(out.poses[cap - 16:]),
+        np.broadcast_to(np.eye(4, dtype=np.float32), (16, 4, 4)),
+        atol=1e-5,
+    )
+
+
 def test_keyframe_slam_end_to_end():
     from voxelhashing_demo_tpu.models import keyframe_slam
     from voxelhashing_demo_tpu.utils import synthetic
