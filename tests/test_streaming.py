@@ -121,6 +121,8 @@ def _out_and_back():
 
 
 def _run(slam, depths, gt):
+    from voxelhashing_demo_tpu.parallel import distributed
+
     for d in depths:
         slam.process(d)
     if getattr(slam, "store", None) is not None:
@@ -128,8 +130,10 @@ def _run(slam, depths, gt):
         # in the store before the accounting below
         slam.stream_sync()
     ate = metrics.ate_rmse(slam.trajectory, gt, align=False)
+    # fetch, not np.asarray: the sharded map is not fully addressable
+    # under multi-process (this helper is shared with tests/mp_worker.py)
     dev_keys = set(
-        int(k) for k in np.asarray(slam.state.hmap.keys)
+        int(k) for k in distributed.fetch(slam.state.hmap.keys)
         if k != int(hash_ops.EMPTY_KEY)
     )
     return ate, dev_keys

@@ -47,8 +47,15 @@ def initialize(coordinator_address: str | None = None,
     On TPU pods with the standard environment variables a bare
     ``initialize()`` autodetects everything; elsewhere pass the
     coordinator explicitly.  Call BEFORE any other jax API touches the
-    backend."""
-    if jax.process_count() > 1:
+    backend.
+
+    The idempotency guard must NOT touch the backend: an earlier version
+    checked ``jax.process_count()``, which itself initializes the XLA
+    backend and made every real multi-process launch through this
+    wrapper fail with "initialize() must be called before any JAX
+    calls" (caught by the real 2-process test,
+    tests/test_multiprocess.py)."""
+    if jax.distributed.is_initialized():
         return  # already initialized
     kwargs = {}
     if coordinator_address is not None:
@@ -102,7 +109,11 @@ def fetch(arr) -> np.ndarray:
         return np.asarray(arr.addressable_shards[0].data)
     from jax.experimental import multihost_utils
 
-    return np.asarray(multihost_utils.process_allgather(arr))
+    # tiled=True: reassemble the GLOBAL array (axis-0 concatenation of
+    # the shards).  tiled=False would stack a new leading process axis
+    # and is rejected outright for non-fully-addressable inputs
+    # (verified by the real 2-process test, tests/test_multiprocess.py).
+    return np.asarray(multihost_utils.process_allgather(arr, tiled=True))
 
 
 def local_rows(arr) -> np.ndarray:
@@ -118,6 +129,45 @@ def local_rows(arr) -> np.ndarray:
         arr.addressable_shards, key=lambda s: s.index[0].start or 0
     )
     return np.concatenate([np.asarray(s.data) for s in shards])
+
+
+def gather_concat(local: np.ndarray) -> np.ndarray:
+    """Concatenate per-process host arrays (variable axis-0 length)
+    across processes, in process order; identity single-process.
+
+    COLLECTIVE: every process must call together, with its own (possibly
+    empty) rows.  This is the checkpoint primitive for per-process
+    BlockStore shards — each host holds only its devices' evicted
+    blocks, but a checkpoint must record the union (see
+    utils/checkpoint.save_slam)."""
+    if not is_multiprocess():
+        return local
+    from jax.experimental import multihost_utils
+
+    counts = multihost_utils.process_allgather(
+        np.asarray([local.shape[0]], np.int64)
+    ).reshape(-1)
+    m = int(counts.max())
+    if m == 0:
+        return local
+    pad_rows = m - local.shape[0]
+    padded = np.concatenate(
+        [local, np.zeros((pad_rows,) + local.shape[1:], local.dtype)]
+    ) if pad_rows else local
+    stacked = multihost_utils.process_allgather(padded)  # (P, m, ...)
+    return np.concatenate(
+        [stacked[i, : int(c)] for i, c in enumerate(counts)]
+    )
+
+
+def owner_process_mask(mesh, owner_pos: np.ndarray) -> np.ndarray:
+    """True where the mesh position in ``owner_pos`` belongs to THIS
+    process (all-True single-process).  Used to filter a global
+    checkpointed store down to this process's shard on load."""
+    proc_of_pos = np.asarray(
+        [d.process_index for d in mesh.devices.flat], np.int64
+    )
+    return proc_of_pos[owner_pos] == jax.process_index()
 
 
 def shard_rows_to_global(local: np.ndarray, mesh, spec):

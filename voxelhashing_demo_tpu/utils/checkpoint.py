@@ -107,10 +107,21 @@ def save_slam(
         config_to_json(slam.config).encode(), dtype=np.uint8
     )
     arrays["format_version"] = np.int64(FORMAT_VERSION)
-    if getattr(slam, "store", None) is not None and len(slam.store):
-        # streaming host store: the out-of-frustum half of the map
-        for k, v in slam.store.state_arrays().items():
-            arrays[f"store.{k}"] = v
+    if getattr(slam, "store", None) is not None:
+        # streaming host store: the out-of-frustum half of the map.
+        # Under multi-process each store holds only this host's devices'
+        # evictions, so the shards are gathered into the global union
+        # (collective — every process checkpoints together; the gate
+        # below must NOT depend on the per-process len(store)).
+        from ..parallel import distributed
+
+        store_arrays = {
+            k: distributed.gather_concat(v)
+            for k, v in slam.store.state_arrays().items()
+        }
+        if store_arrays["keys"].shape[0]:
+            for k, v in store_arrays.items():
+                arrays[f"store.{k}"] = v
     if extra:
         for k, v in extra.items():
             arrays[f"extra.{k}"] = np.asarray(v)
@@ -359,10 +370,32 @@ def load_sharded_slam(path: str, mesh=None):
             slam._evict = sharded.make_sharded_evict(config, mesh)
             slam._restore = sharded.make_sharded_restore(config, mesh)
             if "store.keys" in z:
+                from ..parallel import distributed
+
+                skeys = np.asarray(z["store.keys"])
+                stsdf = np.asarray(z["store.tsdf"])
+                sweight = np.asarray(z["store.weight"])
+                sborn = (np.asarray(z["store.born"])
+                         if "store.born" in z else None)
+                if distributed.is_multiprocess() and skeys.size:
+                    # the checkpoint records the global store union;
+                    # this process keeps only the rows its devices own
+                    # (restores route by the same owner hash, so foreign
+                    # rows could never be uploaded from here — they would
+                    # sit dead in the store forever)
+                    from .blockstore import unpack_keys_np
+
+                    owner = sharded._owner_np(
+                        unpack_keys_np(skeys, config.hash.key_bits),
+                        config.hash.num_buckets, mesh.devices.size,
+                    )
+                    keep = distributed.owner_process_mask(mesh, owner)
+                    skeys, stsdf, sweight = (
+                        skeys[keep], stsdf[keep], sweight[keep])
+                    if sborn is not None:
+                        sborn = sborn[keep]
                 slam.store = BlockStore.from_arrays(
-                    config.hash, z["store.keys"], z["store.tsdf"],
-                    z["store.weight"],
-                    z["store.born"] if "store.born" in z else None,
+                    config.hash, skeys, stsdf, sweight, sborn,
                     born_default=int(z["state.frame_idx"]),
                 )
             else:
