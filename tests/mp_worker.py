@@ -46,6 +46,7 @@ def _setup_env() -> None:
 
 def main() -> None:
     pid, port, outdir = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+    mode = sys.argv[4] if len(sys.argv) > 4 else "stream"
     _setup_env()
 
     import jax
@@ -79,8 +80,13 @@ def main() -> None:
     assert distributed.is_multiprocess()
     assert res["process_count"] == 2 and res["global_devices"] == 8
 
-    # ---- A. host<->device primitives on genuinely non-addressable arrays
     mesh = sharded.make_mesh()  # global: both processes' devices
+
+    if mode == "kf":
+        _run_keyframe(pid, outdir, res, mesh)
+        return
+
+    # ---- A. host<->device primitives on genuinely non-addressable arrays
     x = np.arange(48, dtype=np.float32).reshape(16, 3)
     half = x[pid * 8:(pid + 1) * 8]
     dev = distributed.shard_rows_to_global(half, mesh, P("d"))
@@ -147,6 +153,66 @@ def main() -> None:
     print(f"[worker {pid}] OK ate={ate:.4f} "
           f"evicted={res['total_evicted']} restored={res['total_restored']}",
           flush=True)
+
+
+def _run_keyframe(pid: int, outdir: str, res: dict, mesh) -> None:
+    """The FULL flagship stack (keyframe backend + loop closure + BA +
+    map rebuild over the streaming sharded frontend — the BASELINE
+    config-5 composition) across two real processes.  Scenario shared
+    with the single-process twin,
+    tests/test_streaming.py::test_streaming_composes_with_keyframe_backend,
+    which documents why each assert holds."""
+    import dataclasses
+
+    import numpy as np
+
+    from voxelhashing_demo_tpu.models import keyframe_slam
+    from voxelhashing_demo_tpu.utils import checkpoint, metrics
+    import test_streaming as ts
+
+    depths, gt = ts._out_and_back()
+    base = ts._stream_cfg(True)
+    cfg = dataclasses.replace(
+        base,
+        keyframes=dataclasses.replace(
+            base.keyframes, min_rotation_deg=8.0, min_translation=0.10,
+            max_keyframes=4, max_edges=8,
+        ),
+    )
+    slam = keyframe_slam.KeyframeSLAM(cfg, mesh=mesh)
+    for d in depths:
+        slam.process(d)
+    slam.settle()
+    res["ate"] = float(metrics.ate_rmse(slam.trajectory(), gt,
+                                        align=False))
+    res["trajectory"] = np.stack(
+        [np.asarray(p) for p in slam.trajectory()]).tolist()
+    res["n_keyframes"] = len(slam.keyframes)
+    res["n_edges"] = int(slam._n_edges)
+    res["ba_runs"] = len(slam.ba_events)
+    res["capacity_kinds"] = sorted(
+        {e["kind"] for e in slam.capacity_events})
+    store = slam._driver.store
+    res["total_evicted"] = int(store.total_evicted)
+    res["total_restored"] = int(store.total_restored)
+    res["store_keys"] = sorted(int(k) for k in store._index)
+
+    # collective keyframe checkpoint + resume across both processes
+    ckpt = os.path.join(outdir, f"kf_ckpt_{pid}.npz")
+    checkpoint.save_keyframe_slam(ckpt, slam)
+    loaded = checkpoint.load_keyframe_slam(ckpt, mesh)
+    for d in depths[-4:]:
+        loaded.process(d)
+    loaded.settle()
+    res["resumed_pose"] = np.asarray(
+        loaded._driver.state.pose).tolist()
+    res["resumed_keyframes"] = len(loaded.keyframes)
+
+    with open(os.path.join(outdir, f"result_{pid}.json"), "w") as f:
+        json.dump(res, f)
+    print(f"[worker {pid}] KF OK ate={res['ate']:.4f} "
+          f"kf={res['n_keyframes']} edges={res['n_edges']} "
+          f"ba={res['ba_runs']}", flush=True)
 
 
 if __name__ == "__main__":

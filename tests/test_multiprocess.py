@@ -42,13 +42,15 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def test_two_process_streaming_slam(tmp_path):
-    # bounded by the communicate(timeout=840) below (pytest-timeout is
-    # not installed in this image)
+def _launch(tmp_path, mode):
+    """Run the two workers to completion; return their parsed results.
+    Bounded by communicate(timeout=...) (pytest-timeout is not installed
+    in this image)."""
     port = _free_port()
     procs = [
         subprocess.Popen(
-            [sys.executable, _WORKER, str(i), str(port), str(tmp_path)],
+            [sys.executable, _WORKER, str(i), str(port), str(tmp_path),
+             mode],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
         )
         for i in range(2)
@@ -65,11 +67,15 @@ def test_two_process_streaming_slam(tmp_path):
                     + "\n".join(o or "" for o in outs))
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {i} failed:\n{out}"
-
     res = []
     for i in range(2):
         with open(tmp_path / f"result_{i}.json") as f:
             res.append(json.load(f))
+    return res
+
+
+def test_two_process_streaming_slam(tmp_path):
+    res = _launch(tmp_path, "stream")
 
     for r in res:
         assert r["process_count"] == 2
@@ -112,3 +118,57 @@ def test_two_process_streaming_slam(tmp_path):
             np.testing.assert_array_equal(z0[k], z1[k], err_msg=k)
         if s0 or s1:
             assert set(int(v) for v in z0["store.keys"]) == s0 | s1
+
+
+def test_two_process_keyframe_backend(tmp_path):
+    """The FULL flagship stack — keyframe backend with loop closure, BA,
+    graph growth, and map rebuild over the streaming sharded frontend
+    (the BASELINE config-5 composition) — runs identically on both
+    processes of a real 2-process mesh, checkpoint/resume included."""
+    res = _launch(tmp_path, "kf")
+
+    for r in res:
+        assert r["ate"] < 0.1, r["ate"]
+        # same behavior bar as the single-process twin: the graph GREW
+        # past its deliberately undersized capacity, loop edges exist
+        # beyond the odometry chain, and the map streamed
+        assert r["n_keyframes"] > 4
+        assert "grow_keyframes" in r["capacity_kinds"]
+        assert r["n_edges"] > r["n_keyframes"] - 1
+        assert r["total_evicted"] > 0
+        assert r["resumed_keyframes"] >= r["n_keyframes"]
+
+    # host-level SPMD: every backend decision (keyframe insertion, BA,
+    # rebuild, relocalization) resolved identically on both processes
+    assert res[0]["n_keyframes"] == res[1]["n_keyframes"]
+    assert res[0]["n_edges"] == res[1]["n_edges"]
+    assert res[0]["ba_runs"] == res[1]["ba_runs"]
+    t0 = np.asarray(res[0]["trajectory"])
+    t1 = np.asarray(res[1]["trajectory"])
+    assert np.array_equal(t0, t1), "processes diverged"
+    assert res[0]["resumed_pose"] == res[1]["resumed_pose"]
+    # per-process store shards stay disjoint under the full backend
+    assert not (set(res[0]["store_keys"]) & set(res[1]["store_keys"]))
+
+    with np.load(tmp_path / "kf_ckpt_0.npz") as z0, \
+            np.load(tmp_path / "kf_ckpt_1.npz") as z1:
+        assert sorted(z0.files) == sorted(z1.files)
+        for k in z0.files:
+            if k == "extra.events_json":
+                # event logs carry host wall-clock ("..._s" keys: ba_s,
+                # rebuild_s, stage laps) which legitimately differs per
+                # process; everything else must agree exactly
+                e0 = _strip_timings(json.loads(bytes(z0[k]).decode()))
+                e1 = _strip_timings(json.loads(bytes(z1[k]).decode()))
+                assert e0 == e1, "event logs diverged beyond timings"
+            else:
+                np.testing.assert_array_equal(z0[k], z1[k], err_msg=k)
+
+
+def _strip_timings(obj):
+    if isinstance(obj, dict):
+        return {k: _strip_timings(v) for k, v in obj.items()
+                if not k.endswith("_s")}
+    if isinstance(obj, list):
+        return [_strip_timings(v) for v in obj]
+    return obj

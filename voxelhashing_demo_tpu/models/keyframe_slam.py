@@ -1003,6 +1003,8 @@ class KeyframeSLAM:
         # compile each first use — the localized_micro bench measured
         # 1.22 s for a 2-move correction, almost all of it this stack)
         sat_dev = jnp.int32(0)
+        # restore-miss count, per-process (list so the closure can write)
+        nonlocal_miss = [0]
 
         def restore_frustums(from_pose, to_pose):
             """Streaming: pull stored rows back on device for both the
@@ -1012,7 +1014,6 @@ class KeyframeSLAM:
             to ``_restore_keys``, which stays collective-consistent
             under multi-process (a store-emptiness early-return here
             would deadlock a peer whose shard has work)."""
-            nonlocal n_sat
             s = self.config.stream
             # join the streaming worker BEFORE reading the store: an
             # async rebuild spill landing (spill_finish_async) may still
@@ -1028,8 +1029,10 @@ class KeyframeSLAM:
                 ) if len(d.store) else np.zeros(0, np.int32))
                 d._restore_keys(keys)
                 # rows still stored could not come back on device: their
-                # share of the frame's contribution cannot be moved
-                n_sat += sum(
+                # share of the frame's contribution cannot be moved.
+                # This counts only THIS process's store shard; the
+                # global total is summed once at the end (psum_host)
+                nonlocal_miss[0] += sum(
                     1 for k in keys if int(k) in d.store._index
                 )
 
@@ -1067,6 +1070,14 @@ class KeyframeSLAM:
             # ONE scalar fetch (max_active hit means the de/re-
             # integration frustum was truncated)
             n_sat += int(np.asarray(sat_dev))
+            if streaming:
+                # globalize the per-process restore-miss count so the
+                # recorded saturation is the identical global total on
+                # every process (collective; n is process-symmetric, so
+                # every process reaches this together)
+                from ..parallel import distributed
+
+                n_sat += distributed.psum_host(nonlocal_miss[0])
         if n == 0:
             # nothing moved: the map is untouched, so the model rendered
             # by the last step is still valid — skip the re-render (in

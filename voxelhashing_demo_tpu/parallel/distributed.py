@@ -160,6 +160,21 @@ def gather_concat(local: np.ndarray) -> np.ndarray:
     )
 
 
+def psum_host(value: int) -> int:
+    """Sum a per-process host scalar across processes (identity
+    single-process).  COLLECTIVE under multi-process — every process
+    must call together with its own value.  Used where host-side
+    accounting derives from per-process state (e.g. a BlockStore shard)
+    but the recorded number must be the identical global total on every
+    process (the SPMD host-logic invariant, MULTIHOST.md)."""
+    if not is_multiprocess():
+        return int(value)
+    from jax.experimental import multihost_utils
+
+    return int(multihost_utils.process_allgather(
+        np.asarray([value], np.int64)).sum())
+
+
 def owner_process_mask(mesh, owner_pos: np.ndarray) -> np.ndarray:
     """True where the mesh position in ``owner_pos`` belongs to THIS
     process (all-True single-process).  Used to filter a global
