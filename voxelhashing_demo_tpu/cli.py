@@ -301,8 +301,10 @@ def cmd_run(args) -> None:
             args.render_every
             and (i + 1) % args.render_every == 0
             and getattr(slam, "render", None) is not None
-            and mesh is None
         ):
+            # live on every backend; a sharded render() returns the
+            # image row-sharded over the mesh and np.asarray (inside
+            # shade_rgb) reassembles it
             name = f"live_{resumed_frames + i:05d}.png"
             viz.write_png_rgb(
                 os.path.join(args.out, name),

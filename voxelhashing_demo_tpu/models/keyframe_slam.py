@@ -1520,13 +1520,10 @@ class KeyframeSLAM:
         return correction
 
     def render(self, pose=None):
-        """Render the current map (single-chip driver's renderer)."""
-        if self.mesh is not None:
-            raise NotImplementedError(
-                "rendering the sharded map: checkpoint + `cli render` "
-                "(load_slam converts to the single-chip view)"
-            )
-        return self._inner.render(pose)
+        """Render the current map (live on both the single-chip and the
+        sharded driver — the sharded path row-shards the output over the
+        mesh, see parallel/sharded.make_sharded_render)."""
+        return self._driver.render(pose)
 
     def trajectory(self) -> List[np.ndarray]:
         """Full trajectory with all BA corrections applied retroactively."""

@@ -601,6 +601,41 @@ def make_sharded_render_model(config: PipelineConfig, mesh: Mesh):
     return jax.jit(fn)
 
 
+@functools.lru_cache(maxsize=None)
+def make_sharded_render(config: PipelineConfig, mesh: Mesh):
+    """LIVE render of the sharded map at an arbitrary pose — the
+    multi-chip twin of models/hash_slam.HashSLAM.render (reference:
+    SDFRenderer.cpp:210 render, finished here where the reference broke).
+
+    Reuses the tracking surface-prediction path: each device splats (or
+    sphere-traces) its own rows, the per-device z-buffers merge with one
+    ``pmin`` (splat) or the visible halo all-gathers (march), and the
+    finalized depth/points/normals come back row-sharded — identical
+    per-pixel values to the single-chip renderer over the same map
+    content (min is order-independent), reassembled by the out_specs."""
+    n = mesh.devices.size
+    lcfg = local_hash_config(config.hash, n)
+
+    def _local(hmap, pose):
+        model, _ = _raycast_model_sharded(hmap, lcfg, pose, config, n)
+        return rc_ops.RaycastOutput(
+            depth=model.depth,
+            points=model.vertices,
+            normals=model.normals,
+            hit=model.depth > 0,
+        )
+
+    fn = jax.shard_map(
+        _local,
+        mesh=mesh,
+        in_specs=(_map_spec(), P()),
+        out_specs=rc_ops.RaycastOutput(
+            depth=P(AXIS), points=P(AXIS), normals=P(AXIS), hit=P(AXIS),
+        ),
+    )
+    return jax.jit(fn)
+
+
 def make_sharded_evict(config: PipelineConfig, mesh: Mesh):
     """Jitted sharded eviction scan: each device evicts its own stale rows
     (max_evict/n per device) — no collectives beyond the count psum; the
@@ -1091,6 +1126,16 @@ class ShardedHashSLAM:
             store.add(keys[seg], p[:, :V], p[:, V : 2 * V],
                       p[:, 2 * V].astype(np.int32))
         return overflow
+
+    def render(self, pose=None) -> rc_ops.RaycastOutput:
+        """Live render from an arbitrary viewpoint (defaults to current
+        pose) — interface twin of models/hash_slam.HashSLAM.render; the
+        output is row-sharded over the mesh (np.asarray /
+        distributed.fetch reassembles the full image)."""
+        pose = self.state.pose if pose is None else jnp.asarray(pose)
+        return make_sharded_render(self.config, self.mesh)(
+            self.state.hmap, pose
+        )
 
     def process(self, depth_raw) -> StepInfo:
         if (self.store is not None
