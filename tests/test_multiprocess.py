@@ -47,24 +47,38 @@ def _launch(tmp_path, mode):
     Bounded by communicate(timeout=...) (pytest-timeout is not installed
     in this image)."""
     port = _free_port()
+    # worker stdout goes to FILES, not pipes: a crashing worker can
+    # flood a 64KB pipe and block while its peer blocks in a collective
+    # — the pair would then ride out the full timeout with the real
+    # error lost
+    logs = [open(tmp_path / f"worker_{i}.log", "w+") for i in range(2)]
     procs = [
         subprocess.Popen(
             [sys.executable, _WORKER, str(i), str(port), str(tmp_path),
              mode],
-            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            stdout=logs[i], stderr=subprocess.STDOUT, text=True,
         )
         for i in range(2)
     ]
-    outs = []
+
+    def _read_logs():
+        out = []
+        for f in logs:
+            f.flush()
+            f.seek(0)
+            out.append(f.read())
+            f.close()
+        return out
+
     try:
         for p in procs:
-            out, _ = p.communicate(timeout=840)
-            outs.append(out)
+            p.wait(timeout=840)
     except subprocess.TimeoutExpired:
         for p in procs:
             p.kill()
         pytest.fail("2-process workers timed out:\n"
-                    + "\n".join(o or "" for o in outs))
+                    + "\n".join(_read_logs()))
+    outs = _read_logs()
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {i} failed:\n{out}"
     res = []

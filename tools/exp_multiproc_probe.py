@@ -28,7 +28,7 @@ def worker(pid: int, port: int) -> None:
     import numpy as np
     import jax.numpy as jnp
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     print(f"[{pid}] procs={jax.process_count()} local={jax.local_device_count()} "
           f"global={jax.device_count()}", flush=True)

@@ -79,7 +79,7 @@ def release_compiled() -> None:
 
     for f in (
         sharded.make_sharded_spill_evict,
-        sharded.make_sharded_render,
+        sharded.make_sharded_render_model,
         hash_slam.make_step,
         hash_slam.make_scan_step,
         hash_slam.make_evict,

@@ -303,12 +303,17 @@ def cmd_run(args) -> None:
             and getattr(slam, "render", None) is not None
         ):
             # live on every backend; a sharded render() returns the
-            # image row-sharded over the mesh and np.asarray (inside
-            # shade_rgb) reassembles it
+            # image row-sharded over the mesh — fetch reassembles it
+            # (process-safe: np.asarray alone would raise on the
+            # non-addressable rows of a multi-process mesh)
+            from .parallel import distributed
+
+            out = slam.render()
+            out = type(out)(*(distributed.fetch(f) for f in out))
             name = f"live_{resumed_frames + i:05d}.png"
             viz.write_png_rgb(
                 os.path.join(args.out, name),
-                viz.shade_rgb(slam.render()),
+                viz.shade_rgb(out),
             )
             live_frames.append(name)
         if (

@@ -1003,8 +1003,7 @@ class KeyframeSLAM:
         # compile each first use — the localized_micro bench measured
         # 1.22 s for a 2-move correction, almost all of it this stack)
         sat_dev = jnp.int32(0)
-        # restore-miss count, per-process (list so the closure can write)
-        nonlocal_miss = [0]
+        miss = 0   # restore-miss count, per-process
 
         def restore_frustums(from_pose, to_pose):
             """Streaming: pull stored rows back on device for both the
@@ -1014,6 +1013,7 @@ class KeyframeSLAM:
             to ``_restore_keys``, which stays collective-consistent
             under multi-process (a store-emptiness early-return here
             would deadlock a peer whose shard has work)."""
+            nonlocal miss
             s = self.config.stream
             # join the streaming worker BEFORE reading the store: an
             # async rebuild spill landing (spill_finish_async) may still
@@ -1032,7 +1032,7 @@ class KeyframeSLAM:
                 # share of the frame's contribution cannot be moved.
                 # This counts only THIS process's store shard; the
                 # global total is summed once at the end (psum_host)
-                nonlocal_miss[0] += sum(
+                miss += sum(
                     1 for k in keys if int(k) in d.store._index
                 )
 
@@ -1077,7 +1077,7 @@ class KeyframeSLAM:
                 # every process reaches this together)
                 from ..parallel import distributed
 
-                n_sat += distributed.psum_host(nonlocal_miss[0])
+                n_sat += distributed.psum_host(miss)
         if n == 0:
             # nothing moved: the map is untouched, so the model rendered
             # by the last step is still valid — skip the re-render (in

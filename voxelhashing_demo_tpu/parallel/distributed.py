@@ -147,6 +147,14 @@ def gather_concat(local: np.ndarray) -> np.ndarray:
     counts = multihost_utils.process_allgather(
         np.asarray([local.shape[0]], np.int64)
     ).reshape(-1)
+    return _gather_with_counts(local, counts)
+
+
+def _gather_with_counts(local: np.ndarray, counts) -> np.ndarray:
+    """Data half of gather_concat, given the already-gathered per-process
+    row counts (collective)."""
+    from jax.experimental import multihost_utils
+
     m = int(counts.max())
     if m == 0:
         return local
@@ -158,6 +166,24 @@ def gather_concat(local: np.ndarray) -> np.ndarray:
     return np.concatenate(
         [stacked[i, : int(c)] for i, c in enumerate(counts)]
     )
+
+
+def gather_concat_many(arrays: dict) -> dict:
+    """gather_concat over several SAME-LENGTH per-process arrays with ONE
+    counts gather (the checkpoint path gathers the BlockStore shard's
+    keys/tsdf/weight/born together; each cross-process gather is a DCN
+    round-trip worth saving).  Identity single-process; collective
+    otherwise."""
+    if not is_multiprocess():
+        return dict(arrays)
+    from jax.experimental import multihost_utils
+
+    lens = {v.shape[0] for v in arrays.values()}
+    assert len(lens) == 1, f"mismatched lengths {lens}"
+    counts = multihost_utils.process_allgather(
+        np.asarray([lens.pop()], np.int64)
+    ).reshape(-1)
+    return {k: _gather_with_counts(v, counts) for k, v in arrays.items()}
 
 
 def psum_host(value: int) -> int:

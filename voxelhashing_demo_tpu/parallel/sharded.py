@@ -582,9 +582,12 @@ def make_sharded_reintegrate(config: PipelineConfig, mesh: Mesh):
     return jax.jit(fn, donate_argnums=0)
 
 
+@functools.lru_cache(maxsize=None)
 def make_sharded_render_model(config: PipelineConfig, mesh: Mesh):
     """Sharded surface prediction at an arbitrary pose (row-sharded model
-    Frame) — refreshes tracking input after a map rebuild."""
+    Frame) — refreshes tracking input after a map rebuild.  Memoized so
+    the keyframe backend's warmed instance and ``make_sharded_render``
+    share ONE executable."""
     n = mesh.devices.size
     lcfg = local_hash_config(config.hash, n)
 
@@ -601,39 +604,28 @@ def make_sharded_render_model(config: PipelineConfig, mesh: Mesh):
     return jax.jit(fn)
 
 
-@functools.lru_cache(maxsize=None)
 def make_sharded_render(config: PipelineConfig, mesh: Mesh):
     """LIVE render of the sharded map at an arbitrary pose — the
     multi-chip twin of models/hash_slam.HashSLAM.render (reference:
     SDFRenderer.cpp:210 render, finished here where the reference broke).
 
-    Reuses the tracking surface-prediction path: each device splats (or
-    sphere-traces) its own rows, the per-device z-buffers merge with one
-    ``pmin`` (splat) or the visible halo all-gathers (march), and the
-    finalized depth/points/normals come back row-sharded — identical
+    Reuses the tracking surface-prediction EXECUTABLE
+    (``make_sharded_render_model``: per-device splat + one ``pmin``
+    z-buffer merge, or halo all-gather + sphere trace) — identical
     per-pixel values to the single-chip renderer over the same map
-    content (min is order-independent), reassembled by the out_specs."""
-    n = mesh.devices.size
-    lcfg = local_hash_config(config.hash, n)
+    content (min is order-independent), already covered by the backend's
+    ``warm_compile`` — and wraps the row-sharded Frame into a
+    RaycastOutput (one eager elementwise op for the hit mask)."""
+    model_fn = make_sharded_render_model(config, mesh)
 
-    def _local(hmap, pose):
-        model, _ = _raycast_model_sharded(hmap, lcfg, pose, config, n)
+    def render(hmap, pose):
+        m = model_fn(hmap, pose)
         return rc_ops.RaycastOutput(
-            depth=model.depth,
-            points=model.vertices,
-            normals=model.normals,
-            hit=model.depth > 0,
+            depth=m.depth, points=m.vertices, normals=m.normals,
+            hit=m.depth > 0,
         )
 
-    fn = jax.shard_map(
-        _local,
-        mesh=mesh,
-        in_specs=(_map_spec(), P()),
-        out_specs=rc_ops.RaycastOutput(
-            depth=P(AXIS), points=P(AXIS), normals=P(AXIS), hit=P(AXIS),
-        ),
-    )
-    return jax.jit(fn)
+    return render
 
 
 def make_sharded_evict(config: PipelineConfig, mesh: Mesh):

@@ -115,10 +115,9 @@ def save_slam(
         # below must NOT depend on the per-process len(store)).
         from ..parallel import distributed
 
-        store_arrays = {
-            k: distributed.gather_concat(v)
-            for k, v in slam.store.state_arrays().items()
-        }
+        store_arrays = distributed.gather_concat_many(
+            slam.store.state_arrays()
+        )
         if store_arrays["keys"].shape[0]:
             for k, v in store_arrays.items():
                 arrays[f"store.{k}"] = v
