@@ -135,6 +135,23 @@ def main() -> None:
     loaded = checkpoint.load_sharded_slam(ckpt, mesh)
     res["loaded_store_keys"] = sorted(int(k) for k in loaded.store._index)
 
+    # per-process shard checkpoint: no gather on save, same state back
+    pp_base = os.path.join(outdir, "pp.npz")
+    checkpoint.save_slam(pp_base, slam, per_process=True)
+    lpp = checkpoint.load_sharded_slam(pp_base, mesh)
+    res["pp_state_equal"] = bool(
+        np.array_equal(distributed.fetch(lpp.state.hmap.keys),
+                       distributed.fetch(loaded.state.hmap.keys))
+        and np.array_equal(distributed.fetch(lpp.state.hmap.tsdf),
+                           distributed.fetch(loaded.state.hmap.tsdf))
+        and np.array_equal(np.asarray(lpp.state.pose),
+                           np.asarray(loaded.state.pose))
+    )
+    res["pp_store_equal"] = (
+        sorted(int(k) for k in lpp.store._index)
+        == res["loaded_store_keys"]
+    )
+
     tail = depths[-4:]
     for d in tail:
         slam.process(d)

@@ -106,6 +106,8 @@ def test_two_process_streaming_slam(tmp_path):
         assert r["store_local_only"]
         # checkpoint resume matched the uninterrupted run
         assert r["resume_close"], "resume diverged from uninterrupted run"
+        # per-process shard checkpoint reconstructed the same state
+        assert r["pp_state_equal"] and r["pp_store_equal"]
 
     # SPMD at the host level: every process computed the identical
     # replicated results — trajectories are bit-equal across processes

@@ -199,3 +199,37 @@ def test_sharded_keyframe_batched_sync(tmp_path):
         for a, b_ in zip(t1, t4)
     )
     assert err < 1e-5, err
+
+
+def test_per_process_shard_checkpoint_roundtrip(tmp_path):
+    """save_slam(per_process=True) writes this process's shard file with
+    no cross-process gather; load_sharded_slam auto-detects it and the
+    resumed run is bit-identical to resuming the global checkpoint
+    (single-process: local == global, so the pp code path is fully
+    exercised; the 2-process twin lives in tests/mp_worker.py)."""
+    depths, _ = synthetic.make_sequence(CFG.camera, 6, trans_amp=0.05,
+                                        rot_amp_deg=2.5)
+    mesh = sharded.make_mesh(8)
+    slam = sharded.ShardedHashSLAM(CFG, mesh)
+    for d in depths[:4]:
+        slam.process(d)
+
+    base = str(tmp_path / "pp.npz")
+    checkpoint.save_slam(base, slam, per_process=True)
+    import os
+
+    pp = checkpoint.per_process_path(base)
+    assert os.path.exists(pp) and not os.path.exists(base)
+    checkpoint.save_slam(str(tmp_path / "global.npz"), slam)
+
+    a = checkpoint.load_sharded_slam(base)      # auto-detects the shard
+    b = checkpoint.load_sharded_slam(str(tmp_path / "global.npz"))
+    for d in depths[4:]:
+        a.process(d)
+        b.process(d)
+    np.testing.assert_array_equal(np.asarray(a.state.pose),
+                                  np.asarray(b.state.pose))
+    np.testing.assert_array_equal(np.asarray(a.state.hmap.keys),
+                                  np.asarray(b.state.hmap.keys))
+    np.testing.assert_array_equal(np.asarray(a.state.hmap.tsdf),
+                                  np.asarray(b.state.hmap.tsdf))

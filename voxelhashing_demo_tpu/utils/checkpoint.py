@@ -72,11 +72,45 @@ def _flatten(prefix: str, tree) -> dict:
     return out
 
 
+def _flatten_local(prefix: str, tree, sharded_keys: list) -> dict:
+    """Per-process twin of ``_flatten``: axis-sharded leaves contribute
+    only THIS process's rows (no communication) and are recorded in
+    ``sharded_keys``; replicated leaves are written in full (identical
+    in every process's file)."""
+    from ..parallel import distributed
+
+    out = {}
+    for name, leaf in zip(tree._fields, tree):
+        key = f"{prefix}.{name}"
+        if hasattr(leaf, "_fields"):
+            out.update(_flatten_local(key, leaf, sharded_keys))
+        elif (isinstance(leaf, np.ndarray)
+              or getattr(leaf, "is_fully_replicated", True)):
+            out[key] = distributed.fetch(leaf)
+        else:
+            out[key] = distributed.local_rows(leaf)
+            sharded_keys.append(key)
+    return out
+
+
+def per_process_path(path: str) -> str:
+    """The shard filename this process reads/writes in per-process
+    checkpoint mode (``save_slam(per_process=True)``)."""
+    import os
+
+    import jax
+
+    base, ext = os.path.splitext(path)
+    return (f"{base}.proc{jax.process_index()}"
+            f"of{jax.process_count()}{ext or '.npz'}")
+
+
 def save_slam(
     path: str,
     slam: "hash_slam.HashSLAM",
     graph: Optional[pose_graph.PoseGraph] = None,
     extra: Optional[dict] = None,
+    per_process: bool = False,
 ) -> None:
     """Checkpoint a HashSLAM, ShardedHashSLAM, or KeyframeSLAM inner state.
 
@@ -84,16 +118,36 @@ def save_slam(
     of every sharded leaf); ``mesh_n`` records the mesh size so
     ``load_sharded_slam`` can restore the exact per-device layout
     (bit-identical resume) while plain ``load_slam`` converts the map
-    canonically to the single-chip layout."""
+    canonically to the single-chip layout.
+
+    ``per_process=True`` writes SHARD files instead — each process writes
+    ``per_process_path(path)`` holding only its devices' rows (plus the
+    replicated leaves, identical in every file) with NO cross-process
+    gather, so checkpointing a multi-host map costs host-local I/O only.
+    ``load_sharded_slam`` auto-detects the shard files when ``path`` is
+    absent; loading requires the same process count/topology."""
+    import jax
+
     if getattr(slam, "store", None) is not None:
         # quiesce the pipelined streaming cycle: an in-flight evicted
         # payload lives on neither the device map nor the store yet and
         # would be LOST by a snapshot taken mid-pipeline
         slam.stream_sync()
-    arrays = _flatten("state", slam.state)
+    sharded_keys: list = []
+    if per_process:
+        arrays = _flatten_local("state", slam.state, sharded_keys)
+        path = per_process_path(path)
+        arrays["pp_process_index"] = np.int64(jax.process_index())
+        arrays["pp_process_count"] = np.int64(jax.process_count())
+        arrays["pp_sharded_keys"] = np.frombuffer(
+            json.dumps(sharded_keys).encode(), dtype=np.uint8
+        )
+    else:
+        arrays = _flatten("state", slam.state)
     mesh = getattr(slam, "mesh", None)
     arrays["mesh_n"] = np.int64(mesh.devices.size if mesh is not None else 1)
     if graph is not None:
+        # graph leaves are replicated (the BA output) — full in any mode
         arrays.update(_flatten("graph", graph))
     if slam.trajectory:
         # device poses: stack on device, fetch ONCE (per-pose np.asarray
@@ -110,14 +164,15 @@ def save_slam(
     if getattr(slam, "store", None) is not None:
         # streaming host store: the out-of-frustum half of the map.
         # Under multi-process each store holds only this host's devices'
-        # evictions, so the shards are gathered into the global union
-        # (collective — every process checkpoints together; the gate
-        # below must NOT depend on the per-process len(store)).
+        # evictions, so a GLOBAL checkpoint gathers the shards into the
+        # union (collective — every process checkpoints together; the
+        # gate below must NOT depend on the per-process len(store));
+        # per-process shard files keep their local rows as-is.
         from ..parallel import distributed
 
-        store_arrays = distributed.gather_concat_many(
-            slam.store.state_arrays()
-        )
+        store_arrays = slam.store.state_arrays()
+        if not per_process:
+            store_arrays = distributed.gather_concat_many(store_arrays)
         if store_arrays["keys"].shape[0]:
             for k, v in store_arrays.items():
                 arrays[f"store.{k}"] = v
@@ -297,16 +352,39 @@ def load_sharded_slam(path: str, mesh=None):
     sharding layout they were saved from; requires a mesh of the same size
     (``mesh_n`` in the file).  For a different topology, go through
     ``load_slam`` (canonical single-chip view) and re-shard by re-running,
-    or re-save from there."""
+    or re-save from there.
+
+    Per-process shard checkpoints (``save_slam(per_process=True)``) are
+    auto-detected when ``path`` itself is absent but this process's
+    ``per_process_path(path)`` exists; they require the same process
+    count/index layout they were saved from."""
+    import os
+
     import jax
     from jax.sharding import NamedSharding
 
     from ..models import hash_slam
-    from ..parallel import sharded
+    from ..parallel import distributed, sharded
+
+    if not os.path.exists(path) and os.path.exists(per_process_path(path)):
+        path = per_process_path(path)
 
     with np.load(path) as z:
         config = config_from_json(bytes(z["config_json"]).decode())
         mesh_n = int(z["mesh_n"]) if "mesh_n" in z else 1
+        pp_sharded = (
+            set(json.loads(bytes(z["pp_sharded_keys"]).decode()))
+            if "pp_sharded_keys" in z else None
+        )
+        if pp_sharded is not None:
+            if (int(z["pp_process_count"]) != jax.process_count()
+                    or int(z["pp_process_index"]) != jax.process_index()):
+                raise ValueError(
+                    f"per-process checkpoint shard was written by process "
+                    f"{int(z['pp_process_index'])}/"
+                    f"{int(z['pp_process_count'])}; this process is "
+                    f"{jax.process_index()}/{jax.process_count()}"
+                )
         if mesh is None:
             mesh = sharded.make_mesh(mesh_n)
         if mesh.devices.size != mesh_n:
@@ -317,10 +395,14 @@ def load_sharded_slam(path: str, mesh=None):
             )
 
         def leaf(key, spec):
+            arr = np.asarray(z[key])
+            if pp_sharded is not None and key in pp_sharded:
+                # this process's rows only; reassemble the global
+                # axis-sharded array from per-process local data
+                return distributed.shard_rows_to_global(arr, mesh, spec)
             # make_array_from_callback works identically single-process
             # and multi-host (each process materializes only the shards
             # it owns; every process must load together)
-            arr = np.asarray(z[key])
             return jax.make_array_from_callback(
                 arr.shape, NamedSharding(mesh, spec),
                 lambda idx, a=arr: a[idx],
