@@ -233,3 +233,42 @@ def test_per_process_shard_checkpoint_roundtrip(tmp_path):
                                   np.asarray(b.state.hmap.keys))
     np.testing.assert_array_equal(np.asarray(a.state.hmap.tsdf),
                                   np.asarray(b.state.hmap.tsdf))
+
+
+def test_per_process_keyframe_checkpoint_roundtrip(tmp_path):
+    """save_keyframe_slam(per_process=True) + load_keyframe_slam(mesh=)
+    round-trips through the shard-file path: the backend records
+    (keyframes, graph, refs) ride the replicated leaves of this
+    process's shard."""
+    import dataclasses
+    import os
+
+    from voxelhashing_demo_tpu.models import keyframe_slam
+
+    mesh = sharded.make_mesh(8)
+    cfg = dataclasses.replace(
+        CFG,
+        keyframes=dataclasses.replace(
+            CFG.keyframes, min_rotation_deg=2.0, min_translation=0.03,
+            icp_downsample=2,
+        ),
+    )
+    depths, _ = synthetic.make_sequence(cfg.camera, 6, trans_amp=0.10,
+                                        rot_amp_deg=5.0)
+    slam = keyframe_slam.KeyframeSLAM(cfg, mesh=mesh)
+    for d in depths:
+        slam.process(d)
+
+    base = str(tmp_path / "kf_pp.npz")
+    checkpoint.save_keyframe_slam(base, slam, per_process=True)
+    assert os.path.exists(checkpoint.per_process_path(base))
+    assert not os.path.exists(base)
+
+    back = checkpoint.load_keyframe_slam(base, mesh=mesh)
+    assert len(back.keyframes) == len(slam.keyframes)
+    np.testing.assert_array_equal(
+        np.asarray(back.graph.poses), np.asarray(slam.graph.poses)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(back.state.hmap.keys), np.asarray(slam.state.hmap.keys)
+    )

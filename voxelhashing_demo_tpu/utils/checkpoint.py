@@ -497,7 +497,7 @@ def load_sharded_slam(path: str, mesh=None):
     return slam
 
 
-def save_keyframe_slam(path: str, kslam) -> None:
+def save_keyframe_slam(path: str, kslam, per_process: bool = False) -> None:
     """Checkpoint a KeyframeSLAM: inner pipeline state + pose graph +
     everything the backend needs to keep closing loops after a restart
     (VERDICT r2 weakness 1 — previously only the graph poses survived):
@@ -545,7 +545,8 @@ def save_keyframe_slam(path: str, kslam) -> None:
     extra["events_json"] = np.frombuffer(
         json.dumps(events).encode(), dtype=np.uint8
     )
-    save_slam(path, kslam._driver, graph=kslam.graph, extra=extra)
+    save_slam(path, kslam._driver, graph=kslam.graph, extra=extra,
+              per_process=per_process)
 
 
 def load_keyframe_slam(path: str, mesh=None):
@@ -560,6 +561,12 @@ def load_keyframe_slam(path: str, mesh=None):
 
     if mesh is not None:
         inner = load_sharded_slam(path, mesh)
+        import os
+
+        if not os.path.exists(path):
+            # per-process shard checkpoint (the graph/extra leaves are
+            # replicated, so this process's shard holds them in full)
+            path = per_process_path(path)
         with np.load(path) as z:
             if "graph.poses" not in z:
                 raise ValueError(f"{path} is not a keyframe checkpoint")
